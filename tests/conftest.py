@@ -1,0 +1,41 @@
+"""Test configuration: force an 8-device virtual CPU mesh before jax import.
+
+Mirrors the reference's CI strategy (SURVEY.md §4: scalar/SIMD × serial/
+parallel matrix): here, all tests run on CPU with 8 virtual devices so
+sharding paths are exercised without TPU hardware.
+"""
+
+import os
+
+# Force CPU: the ambient environment pins JAX_PLATFORMS=axon (one shared TPU
+# chip). Tests must run on the 8-device virtual CPU mesh. Note the ambient
+# sitecustomize imports jax at interpreter startup, so the env var alone is
+# too late — update jax.config directly (before any backend initializes).
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+# The sitecustomize also registers the axon TPU backend factory in every
+# python process; initializing it costs minutes (remote chip claim). Drop
+# the factory before any jax op so tests never touch it.
+try:
+    import jax._src.xla_bridge as _xb
+
+    _xb._backend_factories.pop("axon", None)
+except Exception:
+    pass
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0xC0FFEE)
