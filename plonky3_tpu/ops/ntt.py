@@ -1,0 +1,163 @@
+"""Radix-2 NTT / coset LDE over two-adic Monty-31 fields, XLA-first.
+
+Re-design of the reference's DFT layer (`dft/src/traits.rs:28`,
+`dft/src/radix_2_dit_parallel.rs`, `monty-31/src/dft/mod.rs:75`) for TPU:
+
+* Transforms run along axis 0 of a row-major matrix (rows = evaluations of
+  each column-polynomial), batched over all trailing axes.
+* Forward transform is decimation-in-frequency (DIF): natural-order input,
+  bit-reversed output — every stage is a static slice + butterfly + concat,
+  which XLA vectorizes over the VPU with zero gathers. The bit-reversal
+  permutation, where needed, is a reshape/transpose (utils.bits), never a
+  gather.
+* `coset_lde_batch` fuses: inverse-DIF -> (bitrev) -> scale-by-shift-powers
+  (with n^-1 folded in) -> zero-pad -> forward DIF, mirroring the semantics
+  of `coset_lde_batch_with_transform` (`dft/src/traits.rs:227-242`) and the
+  fused shift-scale of `monty-31/src/dft/mod.rs:25`. Output rows are in
+  bit-reversed order — exactly the layout `TwoAdicFriPcs::commit` stores
+  (`fri/src/two_adic_pcs.rs:300,320`), making FRI folds adjacent-pair
+  reshapes.
+* Twiddle stacks are cached per (field, log_n, direction), the TPU analog
+  of the reference's `RwLock<BTreeMap>` twiddle caches
+  (`radix_2_dit_parallel.rs:53-117`).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.monty31 import Monty31
+from ..utils.bits import bitrev_permute_axis0, log2_strict
+
+# cache: (field name, log_n, inverse) -> device uint32 array of g^j, j<n/2
+_TWIDDLE_CACHE: dict = {}
+# cache: (field name, log_n, shift) -> device (n,) shift-power array
+_POWER_CACHE: dict = {}
+
+
+def powers_device(F: Monty31, base_std: int, n: int, scale_std: int = 1):
+    """[s, s·b, s·b^2, ..., s·b^(n-1)] on device via log-doubling.
+
+    O(log n) kernels of elementwise muls; `base^L` factors are host ints so
+    nothing sequential runs on device (contrast `field/src/field.rs:1339`
+    Powers iterator, which is inherently serial on CPU).
+    """
+    p = jnp.full((1,), np.uint32(F.to_monty_h(scale_std % F.P)), jnp.uint32)
+    cur = base_std % F.P
+    while p.shape[0] < n:
+        fac = F.const(cur)
+        p = jnp.concatenate([p, F.mul(p, fac)])
+        cur = (cur * cur) % F.P
+    return p[:n]
+
+
+def _twiddles(F: Monty31, log_n: int, inverse: bool):
+    key = (F.name, log_n, inverse)
+    tw = _TWIDDLE_CACHE.get(key)
+    if tw is None:
+        g = F.two_adic_generator_h(log_n)
+        if inverse:
+            g = F.inv_h(g)
+        tw = powers_device(F, g, max(1 << (log_n - 1), 1))
+        _TWIDDLE_CACHE[key] = tw
+    return tw
+
+
+def _shift_powers(F: Monty31, log_n: int, shift_std: int, scale_std: int):
+    key = (F.name, log_n, shift_std, scale_std)
+    p = _POWER_CACHE.get(key)
+    if p is None:
+        p = powers_device(F, shift_std, 1 << log_n, scale_std)
+        _POWER_CACHE[key] = p
+    return p
+
+
+def _dif(F: Monty31, x, log_n: int, inverse: bool):
+    """DIF butterfly network along axis 0: natural in, bit-reversed out."""
+    n = 1 << log_n
+    if log_n == 0:
+        return x
+    tw_full = _twiddles(F, log_n, inverse)
+    rest = x.shape[1:]
+    bcast = (1,) * len(rest)
+    x = x.reshape((1, n) + rest)
+    for s in range(log_n):
+        m = n >> s
+        half = m >> 1
+        tw = tw_full[:: 1 << s].reshape((1, half) + bcast)
+        t = x[:, :half]
+        u = x[:, half:]
+        top = F.add(t, u)
+        bot = F.mul(F.sub(t, u), tw)
+        x = jnp.concatenate([top, bot], axis=1).reshape(
+            (2 << s, half) + rest
+        )
+    return x.reshape((n,) + rest)
+
+
+def dft_natural_to_bitrev(F: Monty31, mat):
+    """Forward DFT along axis 0; output rows in bit-reversed order."""
+    return _dif(F, mat, log2_strict(mat.shape[0]), inverse=False)
+
+
+def dft(F: Monty31, mat):
+    """Forward DFT, natural order in and out (dft/src/traits.rs:53)."""
+    out = dft_natural_to_bitrev(F, mat)
+    return bitrev_permute_axis0(out, log2_strict(mat.shape[0]))
+
+
+def idft(F: Monty31, mat):
+    """Inverse DFT, natural order in and out (dft/src/traits.rs:150)."""
+    log_n = log2_strict(mat.shape[0])
+    out = _dif(F, mat, log_n, inverse=True)
+    out = bitrev_permute_axis0(out, log_n)
+    inv_n = F.const(F.inv_h(1 << log_n))
+    return F.mul(out, inv_n)
+
+
+def coset_lde_batch(
+    F: Monty31, mat, added_bits: int, shift_std: int, out_order: str = "bitrev"
+):
+    """Low-degree extension onto the coset `shift·K`, |K| = n·2^added_bits.
+
+    Semantics of `TwoAdicSubgroupDft::coset_lde_batch`
+    (`dft/src/traits.rs:227`): interpolate `mat` over the subgroup H (natural
+    order), evaluate on the shifted larger domain. Output order is
+    'bitrev' (FRI-commit layout) or 'natural'.
+    """
+    log_n = log2_strict(mat.shape[0])
+    log_N = log_n + added_bits
+    n, N = 1 << log_n, 1 << log_N
+
+    # 1) inverse DIF: natural evals -> bit-reversed coeffs (unscaled by 1/n)
+    coeffs_br = _dif(F, mat, log_n, inverse=True)
+    # 2) back to natural coefficient order (reshape/transpose pass)
+    coeffs = bitrev_permute_axis0(coeffs_br, log_n)
+    # 3) scale coeff_i by shift^i, folding in the deferred n^-1
+    sp = _shift_powers(F, log_n, shift_std, F.inv_h(n))
+    coeffs = F.mul(coeffs, sp.reshape((n,) + (1,) * (mat.ndim - 1)))
+    # 4) zero-pad to degree bound N
+    pad = jnp.zeros((N - n,) + mat.shape[1:], jnp.uint32)
+    coeffs = jnp.concatenate([coeffs, pad], axis=0)
+    # 5) forward DIF: natural coeffs -> bit-reversed evals on shift·K
+    out = _dif(F, coeffs, log_N, inverse=False)
+    if out_order == "natural":
+        out = bitrev_permute_axis0(out, log_N)
+    return out
+
+
+def eval_coeffs_at_point_ext(E, F: Monty31, coeffs, z_powers):
+    """Evaluate base-coefficient columns at an extension point.
+
+    coeffs: (n, w) base matrix (natural coefficient order);
+    z_powers: (n, D) extension powers [1, z, z^2, ...].
+    Returns (w, D): per-column p_j(z) = sum_i c_ij z^i.
+
+    This replaces the reference's barycentric evaluation over LDE rows
+    (`matrix/src/interpolation.rs:78`) — same polynomial, evaluated from
+    coefficients, exact field math so protocol-visible values agree.
+    """
+    # (n, w, 1) * (n, 1, D) -> sum over n
+    prods = F.mul(coeffs[:, :, None], z_powers[:, None, :])
+    return F.sum(prods, axis=0)
