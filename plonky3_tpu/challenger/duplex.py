@@ -1,0 +1,125 @@
+"""Duplex-sponge Fiat-Shamir challenger (host side) + device grinding.
+
+Exact behavioral mirror of the reference `DuplexChallenger`
+(`challenger/src/duplex_challenger.rs:33`):
+  * observe: clear output buffer, push input; duplex when RATE inputs queue.
+  * duplexing (:92-117): overwrite state[0..k] with the k buffered inputs;
+    if k > 0 zero the remaining rate slots and add the length tag k to
+    state[RATE] (prefix-free absorb); permute; output buffer = state[..RATE]
+    popped from the END (state[RATE-1] first).
+  * sample (:253-263): duplex if inputs pending or outputs empty; pop.
+  * sample_bits (:278-284): low `bits` bits of the canonical value.
+  * grind (grinding_challenger.rs:33,109): smallest field witness w such
+    that observe(w); sample_bits(bits) == 0 — searched in parallel batches.
+
+The challenger runs on the host with exact ints (it is O(proof size), not
+O(trace)); grinding is the one hot part and brute-forces candidate batches
+on device.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..hashes.poseidon2 import Poseidon2
+
+
+class DuplexChallenger:
+    def __init__(self, perm: Poseidon2, rate: int = 16):
+        assert 0 < rate < perm.width
+        self.perm = perm
+        self.rate = rate
+        self.state = [0] * perm.width
+        self.input_buffer: list[int] = []
+        self.output_buffer: list[int] = []
+
+    # ------------------------------------------------------------------
+    def _duplexing(self):
+        k = len(self.input_buffer)
+        assert k <= self.rate
+        for i, v in enumerate(self.input_buffer):
+            self.state[i] = v
+        self.input_buffer.clear()
+        if k > 0:
+            for i in range(k, self.rate):
+                self.state[i] = 0
+            self.state[self.rate] = (self.state[self.rate] + k) % self.perm.F.P
+        self.state = self.perm.permute_host(self.state)
+        self.output_buffer = list(self.state[: self.rate])
+
+    def observe(self, value: int):
+        self.output_buffer.clear()
+        self.input_buffer.append(value % self.perm.F.P)
+        if len(self.input_buffer) == self.rate:
+            self._duplexing()
+
+    def observe_many(self, values):
+        for v in values:
+            self.observe(int(v))
+
+    def observe_ext(self, ext_tuple):
+        for c in ext_tuple:
+            self.observe(int(c))
+
+    def sample(self) -> int:
+        if self.input_buffer or not self.output_buffer:
+            self._duplexing()
+        return self.output_buffer.pop()
+
+    def sample_ext(self, D: int) -> tuple:
+        return tuple(self.sample() for _ in range(D))
+
+    def sample_bits(self, bits: int) -> int:
+        assert (1 << bits) < self.perm.F.P
+        return self.sample() & ((1 << bits) - 1)
+
+    # ------------------------------------------------------------------
+    def check_witness(self, bits: int, witness: int) -> bool:
+        if bits == 0:
+            return True
+        self.observe(witness)
+        return self.sample_bits(bits) == 0
+
+    def grind(self, bits: int, batch: int = 1 << 14) -> int:
+        """Find the smallest witness passing the PoW, via device batches.
+
+        Mirrors GrindingChallenger::grind (candidates tried in increasing
+        order so the found witness is deterministic).
+        """
+        if bits == 0:
+            return 0
+        F = self.perm.F
+        # Snapshot: observing w appends it to the input buffer, then
+        # sample_bits triggers duplexing with k = len(buffer)+1 inputs.
+        k = len(self.input_buffer)
+        assert k + 1 <= self.rate
+        base_state = list(self.state)
+        for i, v in enumerate(self.input_buffer):
+            base_state[i] = v
+        for i in range(k + 1, self.rate):
+            base_state[i] = 0
+        base_state[self.rate] = (base_state[self.rate] + k + 1) % F.P
+        base_m = F.to_monty_np(np.array(base_state, dtype=np.uint64))
+        mask = np.uint32((1 << bits) - 1)
+
+        start = 0
+        while start < F.P:
+            n = min(batch, F.P - start)
+            states = jnp.broadcast_to(
+                jnp.asarray(base_m), (n, self.perm.width)
+            )
+            cands = np.arange(start, start + n, dtype=np.uint64)
+            cand_m = jnp.asarray(F.to_monty_np(cands))
+            states = states.at[:, k].set(cand_m)
+            out = self.perm.permute_device(states)
+            # sampled element = state[rate-1] (output popped from the end)
+            samp = F.from_monty_np(np.asarray(out[:, self.rate - 1]))
+            hits = np.nonzero((samp & mask) == 0)[0]
+            if hits.size:
+                w = int(start + hits[0])
+                ok = self.check_witness(bits, w)  # also advances transcript
+                assert ok
+                return w
+            start += n
+        raise RuntimeError("no grinding witness found (unreachable)")

@@ -1,0 +1,99 @@
+"""Sponge hashers and compression functions over Poseidon2.
+
+Behavioral parity with `symmetric/src/sponge.rs:157` (PaddingFreeSponge:
+overwrite-mode, permute after each full rate block, permute a trailing
+partial block only if non-empty, squeeze first OUT) and
+`symmetric/src/compression.rs:17` (TruncatedPermutation: zero-extended
+concat, permute, truncate).
+
+Device variants are batched over rows: hashing h Merkle leaves is ONE
+sequence of Poseidon2 calls on (h, WIDTH) lanes — the TPU replacement for
+the reference's vertically-packed SIMD leaf hashing
+(`merkle-tree/src/merkle_tree.rs:268-321`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from .poseidon2 import Poseidon2
+
+
+@dataclass(frozen=True)
+class PaddingFreeSponge:
+    perm: Poseidon2
+    rate: int
+    out: int
+
+    def hash_rows_device(self, mats):
+        """Hash each row of the horizontal concat of `mats` -> (h, out).
+
+        mats: list of (h, w_i) uint32 Monty device arrays.
+        """
+        h = mats[0].shape[0]
+        width = self.perm.width
+        cols = [m[:, j] for m in mats for j in range(m.shape[1])]
+        state = [jnp.zeros((h,), jnp.uint32) for _ in range(width)]
+        pos = 0
+        for c in cols:
+            state[pos] = c
+            pos += 1
+            if pos == self.rate:
+                state = self.perm.permute(self._ops(), state)
+                pos = 0
+        if pos > 0:
+            state = self.perm.permute(self._ops(), state)
+        return jnp.stack(state[: self.out], axis=-1)
+
+    def hash_iter_host(self, elems):
+        """Exact host hash of a flat iterable of standard-form ints."""
+        state = [0] * self.perm.width
+        pos = 0
+        for x in elems:
+            state[pos] = x % self.perm.F.P
+            pos += 1
+            if pos == self.rate:
+                state = self.perm.permute_host(state)
+                pos = 0
+        if pos > 0:
+            state = self.perm.permute_host(state)
+        return tuple(state[: self.out])
+
+    def _ops(self):
+        from .poseidon2 import DeviceOps
+
+        return DeviceOps(self.perm.F)
+
+
+@dataclass(frozen=True)
+class TruncatedPermutation:
+    """2-to-1 digest compression (compression.rs:17 with N=2)."""
+
+    perm: Poseidon2
+    chunk: int  # digest size (8)
+
+    def compress_device(self, left, right):
+        """left/right (h, chunk) -> (h, chunk)."""
+        h = left.shape[0]
+        width = self.perm.width
+        assert 2 * self.chunk <= width
+        state = [None] * width
+        for i in range(self.chunk):
+            state[i] = left[:, i]
+            state[self.chunk + i] = right[:, i]
+        zero = jnp.zeros((h,), jnp.uint32)
+        for i in range(2 * self.chunk, width):
+            state[i] = zero
+        from .poseidon2 import DeviceOps
+
+        state = self.perm.permute(DeviceOps(self.perm.F), state)
+        return jnp.stack(state[: self.chunk], axis=-1)
+
+    def compress_host(self, left, right):
+        state = list(left) + list(right)
+        state += [0] * (self.perm.width - len(state))
+        out = self.perm.permute_host(state)
+        return tuple(out[: self.chunk])

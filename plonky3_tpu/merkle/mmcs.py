@@ -1,0 +1,154 @@
+"""Merkle-tree MMCS: batched device build, exact host verification.
+
+TPU re-design of `merkle-tree/src/merkle_tree.rs:95` + `mmcs/batch.rs:42`:
+the whole tree is built as log(h) batched Poseidon2 calls on device — the
+leaf layer hashes every row at once ((h, WIDTH) lanes, replacing the
+reference's packed-SIMD `first_digest_layer`), each compression layer halves
+the digest count. Mixed-height matrix *injection* (`compress_and_inject`,
+merkle_tree.rs:141-170) is supported on the power-of-two ladder: matrices
+whose height equals the current layer's digest count are hashed and
+compressed into that layer, matching the reference's leaf ordering
+(taller matrices first).
+
+Openings/verification run on the host with exact integer Poseidon2 —
+they are O(log h) per query.
+
+Current limits vs the reference: arity is fixed at 2 (no arity schedule /
+Merkle caps yet), heights must be powers of two, and `open_multi_batch`
+dedup is not implemented.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..hashes.sponge import PaddingFreeSponge, TruncatedPermutation
+from ..utils.bits import log2_strict
+
+
+@dataclass
+class MerkleProverData:
+    matrices: list  # committed device matrices (rows in committed order)
+    layers: list  # device digest layers, layers[0] = leaves (h, 8)
+    root_std: tuple  # digest as standard-form ints (host)
+    _layers_np: list = None  # lazily pulled host copies for fast openings
+
+    def host_layers(self, F):
+        if self._layers_np is None:
+            self._layers_np = [
+                F.from_monty_np(np.asarray(l)) for l in self.layers
+            ]
+        return self._layers_np
+
+
+@dataclass(frozen=True)
+class MerkleTreeMmcs:
+    sponge: PaddingFreeSponge
+    compressor: TruncatedPermutation
+
+    @property
+    def F(self):
+        return self.sponge.perm.F
+
+    def commit(self, mats) -> MerkleProverData:
+        """Commit to matrices (device uint32, rows already in final order).
+
+        Heights must be powers of two. Matrices of the same height are
+        hashed together (rows concatenated, in input order); shorter
+        matrices are injected when the compression ladder reaches their
+        height (merkle_tree.rs:141-170 semantics).
+        """
+        F = self.F
+        mats = list(mats)
+        heights = [m.shape[0] for m in mats]
+        for h in heights:
+            log2_strict(h)
+        order = sorted(range(len(mats)), key=lambda i: -heights[i])
+        max_h = max(heights)
+
+        def take(h):
+            return [mats[i] for i in order if heights[i] == h]
+
+        layer = self.sponge.hash_rows_device(take(max_h))  # (max_h, 8)
+        layers = [layer]
+        h = max_h
+        while h > 1:
+            h //= 2
+            pairs = layers[-1].reshape(h, 2, -1)
+            layer = self.compressor.compress_device(
+                pairs[:, 0], pairs[:, 1]
+            )
+            inject = take(h)
+            if inject:
+                tips = self.sponge.hash_rows_device(inject)
+                layer = self.compressor.compress_device(layer, tips)
+            layers.append(layer)
+        root_m = np.asarray(layers[-1][0])
+        root_std = tuple(int(x) for x in F.from_monty_np(root_m))
+        return MerkleProverData(matrices=mats, layers=layers, root_std=root_std)
+
+    # ------------------------------------------------------------------
+    def open_batch(self, data: MerkleProverData, index: int):
+        """Open row `index >> (log_max_h - log_h)` of every matrix + path.
+
+        Returns (opened_rows, proof): rows as lists of standard ints,
+        proof as list of sibling digests (standard-int tuples), leaf to
+        root. Index-shift semantics per `commit/src/mmcs.rs:88-94`.
+        """
+        F = self.F
+        max_h = data.layers[0].shape[0]
+        log_max = log2_strict(max_h)
+        rows = []
+        for m in data.matrices:
+            shift = log_max - log2_strict(m.shape[0])
+            r = F.from_monty_np(np.asarray(m[index >> shift]))
+            rows.append([int(x) for x in r.reshape(-1)])
+        host_layers = data.host_layers(F)
+        proof = []
+        idx = index
+        for lvl in range(log_max):
+            sib = host_layers[lvl][idx ^ 1]
+            proof.append(tuple(int(x) for x in sib))
+            idx >>= 1
+        return rows, proof
+
+    def verify_batch(
+        self, root_std, dims, index: int, rows, proof
+    ) -> bool:
+        """Exact host verification. dims: list of (height, width)."""
+        heights = [d[0] for d in dims]
+        max_h = max(heights)
+        log_max = log2_strict(max_h)
+        if len(proof) != log_max:
+            return False
+        order = sorted(range(len(dims)), key=lambda i: -heights[i])
+
+        for i, d in enumerate(dims):  # width binding (commit/src/mmcs.rs:145)
+            if len(rows[i]) != d[1]:
+                return False
+
+        def rows_at(h):
+            out = []
+            for i in order:
+                if heights[i] == h:
+                    out.extend(rows[i])
+            return out
+
+        digest = self.sponge.hash_iter_host(rows_at(max_h))
+        idx = index
+        h = max_h
+        for sib in proof:
+            h //= 2
+            if idx & 1:
+                digest = self.compressor.compress_host(sib, digest)
+            else:
+                digest = self.compressor.compress_host(digest, sib)
+            idx >>= 1
+            inj = rows_at(h)
+            if inj:
+                tips = self.sponge.hash_iter_host(inj)
+                digest = self.compressor.compress_host(digest, tips)
+        return tuple(digest) == tuple(root_std)
