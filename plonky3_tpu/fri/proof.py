@@ -1,0 +1,37 @@
+"""FRI proof objects (fri/src/proof.rs shapes, python-int standard form).
+
+Values are stored canonically (standard form ints; extension elements as
+D-tuples). Multi-opening path dedup (reference `open_multi_batch`,
+mmcs.rs:23-28) is TODO: paths are stored per query.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class BatchMultiOpening:
+    """Openings of one input commitment at every query index."""
+
+    opened_values: list  # [query][matrix] -> list[int] (base row values)
+    opening_proofs: list  # [query] -> list[digest tuple]
+
+
+@dataclass
+class CommitPhaseStep:
+    """One FRI fold round's openings (CommitPhaseMultiStep)."""
+
+    log_arity: int
+    sibling_values: list  # [query] -> list of (arity-1) ext tuples
+    opening_proofs: list  # [query] -> merkle path
+
+
+@dataclass
+class FriProof:
+    commit_phase_commits: list  # [round] -> digest tuple (8 ints)
+    commit_pow_witnesses: list  # [round] -> int
+    input_openings: list  # [batch] -> BatchMultiOpening
+    commit_phase_steps: list  # [round] -> CommitPhaseStep
+    final_poly: list  # ext tuples, coefficient order
+    query_pow_witness: int

@@ -1,0 +1,173 @@
+"""FRI prover: device commit-phase folding, host transcript.
+
+Protocol parity with `fri/src/prover.rs:43` (prove_fri) and `:192`
+(commit_phase):
+  per round: reshape the bit-reversed codeword to width-arity rows ->
+  commit -> observe -> grind(commit_pow) -> sample beta -> fold ->
+  roll in the next input scaled by beta^arity.
+Then: final-poly iDFT (truncate, bitrev, idft — prover.rs:271-274),
+observe coefficients, observe the arity schedule, grind(query_pow),
+sample query indices, open everything.
+
+The fold kernel is the TPU analog of `fold_matrix`
+(`fri/src/two_adic_pcs.rs:134-218`): the codeword is bit-reversed so
+conjugate points are adjacent — each arity-2 step is a reshape + one
+extension multiply per output element:
+    new[i] = (lo+hi)/2 + (lo-hi)·beta·hip[i],  hip = bitrev(g^{-i}/2).
+Arity 2^k decomposes into k such steps with beta, beta^2, ..., beta^{2^{k-1}}.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.extension import BinomialExtension
+from ..merkle.extension_mmcs import ExtensionMmcs
+from ..ops.ntt import idft, powers_device
+from ..utils.bits import bitrev_permute_axis0, log2_strict
+from .config import FriParameters, compute_log_arity_for_round
+from .proof import BatchMultiOpening, CommitPhaseStep, FriProof
+
+
+def _halve_inv_powers(F, log_h: int):
+    """bitrev([g^{-i}/2, i < 2^log_h]) with g = two_adic_gen(log_h+1)."""
+    g_inv = F.inv_h(F.two_adic_generator_h(log_h + 1))
+    p = powers_device(F, g_inv, 1 << log_h, scale_std=F.inv_h(2))
+    return bitrev_permute_axis0(p, log_h)
+
+
+def fold_step_device(E: BinomialExtension, folded, beta_host):
+    """One arity-2 fold of a bit-reversed ext codeword (2h, D) -> (h, D)."""
+    F = E.base
+    h2, D = folded.shape
+    h = h2 // 2
+    m = folded.reshape(h, 2, D)
+    lo, hi = m[:, 0], m[:, 1]
+    hip = _halve_inv_powers(F, log2_strict(h))
+    even = F.halve(F.add(lo, hi))
+    odd = E.mul(F.sub(lo, hi), jnp.asarray(E.to_monty_np(beta_host)))
+    return F.add(even, E.base_mul(hip, odd))
+
+
+def fold_matrix_device(E: BinomialExtension, folded, beta_host, log_arity):
+    """Arity-2^k fold as k arity-2 steps with beta^(2^j)."""
+    b = beta_host
+    for _ in range(log_arity):
+        folded = fold_step_device(E, folded, b)
+        b = E.mul_h(b, b)
+    return folded
+
+
+def prove_fri(
+    E: BinomialExtension,
+    params: FriParameters,
+    fri_mmcs: ExtensionMmcs,
+    inputs: list,  # device (h, D) ext codewords, heights strictly desc
+    challenger,
+    log_global_max_height: int,
+    open_input_fn,  # (indices) -> list[BatchMultiOpening]
+) -> FriProof:
+    F = E.base
+    assert inputs and params.num_queries > 0 and params.max_log_arity > 0
+    assert log_global_max_height == log2_strict(inputs[0].shape[0])
+
+    # ---- commit phase (prover.rs:192) ----
+    folded = inputs[0]
+    rest = list(inputs[1:])
+    commits, datas, log_arities, pow_witnesses = [], [], [], []
+    log_final_height = params.log_blowup + params.log_final_poly_len
+
+    while folded.shape[0] > params.blowup * params.final_poly_len:
+        log_h = log2_strict(folded.shape[0])
+        next_log_h = log2_strict(rest[0].shape[0]) if rest else None
+        log_arity = compute_log_arity_for_round(
+            log_h, next_log_h, log_final_height, params.max_log_arity
+        )
+        arity = 1 << log_arity
+        log_arities.append(log_arity)
+
+        # width-arity ext matrix of adjacent (conjugate) evals
+        leaves = folded.reshape(-1, arity, E.D)
+        data = fri_mmcs.commit_ext_matrix(leaves)
+        commits.append(data.root_std)
+        challenger.observe_many(data.root_std)
+        pow_witnesses.append(challenger.grind(params.commit_proof_of_work_bits))
+        beta = challenger.sample_ext(E.D)
+
+        folded = fold_matrix_device(E, folded, beta, log_arity)
+        datas.append(data)
+
+        if rest and rest[0].shape[0] == folded.shape[0]:
+            nxt = rest.pop(0)
+            beta_pow = beta
+            for _ in range(log_arity):
+                beta_pow = E.mul_h(beta_pow, beta_pow)
+            folded = F.add(
+                folded, E.mul(nxt, jnp.asarray(E.to_monty_np(beta_pow)))
+            )
+
+    # ---- final polynomial (prover.rs:271) ----
+    L = params.final_poly_len
+    final_evals = folded[:L]  # bitrev prefix = restriction to subgroup H_L
+    if L > 1:
+        final_evals = bitrev_permute_axis0(final_evals, log2_strict(L))
+        final_coeffs = idft(F, final_evals)
+    else:
+        final_coeffs = final_evals
+    fc = F.from_monty_np(np.asarray(final_coeffs))
+    final_poly = [tuple(int(c) for c in row) for row in fc]
+    for coeff in final_poly:
+        challenger.observe_ext(coeff)
+
+    # bind the arity schedule (prover.rs:103)
+    for la in log_arities:
+        challenger.observe(la)
+
+    # query phase
+    query_pow = challenger.grind(params.query_proof_of_work_bits)
+    indices = [
+        challenger.sample_bits(log_global_max_height)
+        for _ in range(params.num_queries)
+    ]
+
+    input_openings = open_input_fn(indices)
+    commit_phase_steps = _answer_queries(
+        E, fri_mmcs, log_arities, datas, indices
+    )
+
+    return FriProof(
+        commit_phase_commits=commits,
+        commit_pow_witnesses=pow_witnesses,
+        input_openings=input_openings,
+        commit_phase_steps=commit_phase_steps,
+        final_poly=final_poly,
+        query_pow_witness=query_pow,
+    )
+
+
+def _answer_queries(E, fri_mmcs, log_arities, datas, start_indices):
+    """Sibling values + paths per round (prover.rs answer_queries:308)."""
+    steps = []
+    indices = list(start_indices)
+    for log_arity, data in zip(log_arities, datas):
+        arity = 1 << log_arity
+        sibs, proofs = [], []
+        new_indices = []
+        for idx in indices:
+            row_idx = idx >> log_arity
+            ext_rows, proof = fri_mmcs.open_batch(data, row_idx)
+            group = ext_rows[0]  # single matrix per round
+            pos = idx % arity
+            sibs.append([g for j, g in enumerate(group) if j != pos])
+            proofs.append(proof)
+            new_indices.append(row_idx)
+        indices = new_indices
+        steps.append(
+            CommitPhaseStep(
+                log_arity=log_arity,
+                sibling_values=sibs,
+                opening_proofs=proofs,
+            )
+        )
+    return steps

@@ -1,0 +1,265 @@
+"""TwoAdicFriPcs: the univariate PCS over FRI (fri/src/two_adic_pcs.rs:50).
+
+commit (:300): per matrix, coset-LDE onto gK (shift = GENERATOR/domain.shift)
+in bit-reversed row order, then one multi-matrix Merkle commitment.
+
+open (:412): for every (matrix, point z) compute the column evaluations ys
+by barycentric interpolation over the committed bit-reversed LDE
+(reusing the 1/(z-x) table), observe them, sample alpha, accumulate
+
+    reduced[log_h][x] += alpha_offset · inv_denom[x] · (Mred(z) - Mred(x)),
+    Mred(x) = sum_j alpha^j · M[x, j]
+
+per height bucket (:601-655), then run FRI on the buckets (tallest first).
+
+The two hot kernels — Mred (base-matrix × alpha-powers) and the barycentric
+ys contraction — are batched VPU reductions today; the planned MXU path
+decomposes uint32 lanes into 8-bit limbs and uses int8 matmuls with s32
+accumulation (see SURVEY.md §7 hard part 1). TODO(round 2).
+
+verify (:683): observe all claimed evals in prover order, then verify_fri.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..challenger.duplex import DuplexChallenger
+from ..commit.domain import TwoAdicCoset
+from ..fields.extension import BinomialExtension
+from ..merkle.extension_mmcs import ExtensionMmcs
+from ..merkle.mmcs import MerkleTreeMmcs
+from ..ops.ntt import coset_lde_batch, powers_device
+from ..utils.bits import bitrev_permute_axis0, log2_strict
+from .config import FriParameters
+from .proof import BatchMultiOpening
+from .prover import prove_fri
+from .verifier import verify_fri
+
+
+@dataclass(frozen=True)
+class TwoAdicFriPcs:
+    F: object  # Monty31
+    E: BinomialExtension
+    fri: FriParameters
+    mmcs: MerkleTreeMmcs  # input (base) commitments
+    fri_mmcs: ExtensionMmcs  # commit-phase (extension) commitments
+
+    # ------------------------------------------------------------------
+    def natural_domain_for_degree(self, degree: int) -> TwoAdicCoset:
+        return TwoAdicCoset(self.F, 1, log2_strict(degree))
+
+    def commit(self, evaluations):
+        """evaluations: [(TwoAdicCoset, device (n, w) natural-order mat)].
+
+        Returns MerkleProverData whose matrices are the bit-reversed LDEs
+        over gK (two_adic_pcs.rs:300-320); `data.domains` records inputs.
+        """
+        ldes = []
+        domains = []
+        for domain, evals in evaluations:
+            assert evals.shape[0] == domain.size
+            shift = self.F.mul_h(
+                self.F.GENERATOR, self.F.inv_h(domain.shift)
+            )
+            ldes.append(
+                coset_lde_batch(self.F, evals, self.fri.log_blowup, shift)
+            )
+            domains.append(domain)
+        data = self.mmcs.commit(ldes)
+        data.domains = domains
+        return data
+
+    def get_evaluations_on_domain(self, data, mat_index: int, domain: TwoAdicCoset):
+        """Evaluations of committed matrix over `domain`, natural order.
+
+        `domain` must be a sub-coset of the committed LDE coset with the
+        same shift (the uni-stark quotient domain). In bit-reversed order
+        the restriction is a prefix (SURVEY.md §7 design stance), so this
+        is a slice + reshape/transpose, no gather.
+        """
+        lde = data.matrices[mat_index]
+        log_lde = log2_strict(lde.shape[0])
+        committed = TwoAdicCoset(self.F, self.F.GENERATOR, log_lde)
+        assert domain.shift == committed.shift, "domain must share shift gK"
+        prefix = lde[: domain.size]
+        return bitrev_permute_axis0(prefix, domain.log_n)
+
+    # ------------------------------------------------------------------
+    def open(self, data_with_points, challenger: DuplexChallenger):
+        """data_with_points: [(MerkleProverData, [[z per matrix]])].
+
+        Returns (opened_values, FriProof); opened_values[round][mat][point]
+        is the list of per-column evals (ext tuples).
+        """
+        F, E = self.F, self.E
+        lb = self.fri.log_blowup
+
+        all_mats = [
+            (rnd, i, mat)
+            for rnd, (data, _) in enumerate(data_with_points)
+            for i, mat in enumerate(data.matrices)
+        ]
+        log_global_max_height = max(
+            log2_strict(m.shape[0]) for _, _, m in all_mats
+        )
+
+        # bit-reversed coset points for the global max height
+        xs_br = bitrev_permute_axis0(
+            powers_device(
+                F,
+                F.two_adic_generator_h(log_global_max_height),
+                1 << log_global_max_height,
+                scale_std=F.GENERATOR,
+            ),
+            log_global_max_height,
+        )
+
+        # 1/(z - x) per unique opening point, at its max needed height
+        max_h_for_point = {}
+        for data, points in data_with_points:
+            for mat, pts in zip(data.matrices, points):
+                for z in pts:
+                    h = mat.shape[0]
+                    max_h_for_point[z] = max(max_h_for_point.get(z, 0), h)
+        inv_denoms = {}
+        for z, h in max_h_for_point.items():
+            zc = jnp.asarray(E.to_monty_np(z))
+            diff = E.sub(
+                jnp.broadcast_to(zc, (h, E.D)), E.from_base(xs_br[:h])
+            )
+            inv_denoms[z] = E.inv(diff)
+
+        # column evaluations ys by barycentric interpolation; observe
+        opened_values = []
+        for data, points in data_with_points:
+            round_vals = []
+            for mat, pts in zip(data.matrices, points):
+                h = mat.shape[0]
+                n_std = h  # coset size
+                mat_vals = []
+                for z in pts:
+                    idv = inv_denoms[z][:h]
+                    # w_i = x_i · inv_denom_i  (ext per row)
+                    wx = E.base_mul(xs_br[:h], idv)
+                    comps = [
+                        F.sum(F.mul(wx[:, d : d + 1], mat), axis=0)
+                        for d in range(E.D)
+                    ]
+                    ys_raw = jnp.stack(comps, axis=-1)  # (w, D)
+                    # scale by (z^n - s^n)/(n·s^n), s = GENERATOR
+                    s_pow_n = F.exp_h(F.GENERATOR, n_std)
+                    zn = E.exp_h(z, n_std)
+                    factor = E.base_mul_h(
+                        F.inv_h(F.mul_h(n_std, s_pow_n)),
+                        E.sub_h(zn, E.from_base_h(s_pow_n)),
+                    )
+                    ys_dev = E.mul(ys_raw, jnp.asarray(E.to_monty_np(factor)))
+                    ys_np = F.from_monty_np(np.asarray(ys_dev))
+                    ys = [tuple(int(c) for c in row) for row in ys_np]
+                    for y in ys:
+                        challenger.observe_ext(y)
+                    mat_vals.append(ys)
+                round_vals.append(mat_vals)
+            opened_values.append(round_vals)
+
+        alpha = challenger.sample_ext(E.D)
+
+        # reduced openings per height bucket
+        reduced = {}  # log_h -> (h, D) device ext accumulator
+        num_reduced = {}  # log_h -> count of (col, point) pairs folded in
+        for (data, points), round_vals in zip(data_with_points, opened_values):
+            for mat, pts, mat_vals in zip(data.matrices, points, round_vals):
+                h = mat.shape[0]
+                log_h = log2_strict(h)
+                w = mat.shape[1]
+                alpha_pows = E.powers_np(alpha, w)  # (w, D) host-exact
+                ap_dev = jnp.asarray(alpha_pows)
+                # Mred(x) = sum_j alpha^j M[:, j]   (hot kernel; per-component
+                # (h,w) reductions keep temps 2-D for XLA fusion)
+                mat_compressed = jnp.stack(
+                    [
+                        F.sum(F.mul(mat, ap_dev[None, :, d]), axis=1)
+                        for d in range(E.D)
+                    ],
+                    axis=-1,
+                )  # (h, D)
+                for z, ys in zip(pts, mat_vals):
+                    acc = reduced.setdefault(
+                        log_h, jnp.zeros((h, E.D), jnp.uint32)
+                    )
+                    nr = num_reduced.get(log_h, 0)
+                    # Mred(z) on host
+                    mred_z = E.zero_h()
+                    ap = E.one_h()
+                    for y in ys:
+                        mred_z = E.add_h(mred_z, E.mul_h(ap, y))
+                        ap = E.mul_h(ap, alpha)
+                    alpha_off = E.exp_h(alpha, nr)
+                    diff = E.sub(
+                        jnp.broadcast_to(
+                            jnp.asarray(E.to_monty_np(mred_z)), (h, E.D)
+                        ),
+                        mat_compressed,
+                    )
+                    term = E.mul(diff, inv_denoms[z][:h])
+                    term = E.mul(term, jnp.asarray(E.to_monty_np(alpha_off)))
+                    reduced[log_h] = E.add(acc, term)
+                    num_reduced[log_h] = nr + w
+        fri_input = [
+            reduced[lh] for lh in sorted(reduced.keys(), reverse=True)
+        ]
+
+        def open_input_fn(indices):
+            openings = []
+            for data, _ in data_with_points:
+                log_batch_max = log2_strict(
+                    max(m.shape[0] for m in data.matrices)
+                )
+                bits_reduced = log_global_max_height - log_batch_max
+                vals, proofs = [], []
+                for index in indices:
+                    rows, proof = self.mmcs.open_batch(
+                        data, index >> bits_reduced
+                    )
+                    vals.append(rows)
+                    proofs.append(proof)
+                openings.append(
+                    BatchMultiOpening(
+                        opened_values=vals, opening_proofs=proofs
+                    )
+                )
+            return openings
+
+        fri_proof = prove_fri(
+            E,
+            self.fri,
+            self.fri_mmcs,
+            fri_input,
+            challenger,
+            log_global_max_height,
+            open_input_fn,
+        )
+        return opened_values, fri_proof
+
+    # ------------------------------------------------------------------
+    def verify(self, commitments_with_opening_points, proof, challenger):
+        """commitments_with_opening_points:
+        [(root, [(TwoAdicCoset, [(z, ys)])])]  (two_adic_pcs.rs:683)."""
+        for _, mats in commitments_with_opening_points:
+            for _, points_and_values in mats:
+                for _, ys in points_and_values:
+                    for y in ys:
+                        challenger.observe_ext(y)
+        verify_fri(
+            self.E,
+            self.fri,
+            proof,
+            challenger,
+            commitments_with_opening_points,
+            self.mmcs,
+            self.fri_mmcs,
+        )

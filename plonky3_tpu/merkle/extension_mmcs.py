@@ -1,0 +1,47 @@
+"""ExtensionMmcs: commit to extension-field matrices via a base-field MMCS.
+
+Mirrors `commit/src/adapters/extension_mmcs.rs:17`: an (h, w, D) extension
+matrix is committed as the flattened (h, w·D) base matrix (component-major
+within each element, matching `flatten_to_base`), and opened rows are
+re-grouped into D-tuples.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from .mmcs import MerkleTreeMmcs, MerkleProverData
+
+
+@dataclass(frozen=True)
+class ExtensionMmcs:
+    inner: MerkleTreeMmcs
+    D: int
+
+    def commit_ext_matrix(self, mat) -> MerkleProverData:
+        """mat: (h, w, D) device uint32 -> commit flattened (h, w·D)."""
+        h, w, d = mat.shape
+        assert d == self.D
+        return self.inner.commit([mat.reshape(h, w * d)])
+
+    def open_batch(self, data: MerkleProverData, index: int):
+        rows, proof = self.inner.open_batch(data, index)
+        # regroup base values into extension tuples
+        ext_rows = []
+        for row in rows:
+            assert len(row) % self.D == 0
+            ext_rows.append(
+                [
+                    tuple(row[i : i + self.D])
+                    for i in range(0, len(row), self.D)
+                ]
+            )
+        return ext_rows, proof
+
+    def verify_batch(self, root_std, dims, index, ext_rows, proof) -> bool:
+        """dims: list of (height, ext_width)."""
+        rows = [
+            [c for e in row for c in e] for row in ext_rows
+        ]
+        base_dims = [(h, w * self.D) for (h, w) in dims]
+        return self.inner.verify_batch(root_std, base_dims, index, rows, proof)
