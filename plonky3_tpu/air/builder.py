@@ -1,0 +1,250 @@
+"""AIR definition DSL, generic over evaluation backends.
+
+The reference expresses AIRs as `Air::eval(builder)` over an `AirBuilder`
+trait (`air/src/builder.rs:12-211`) and re-runs the same eval with different
+element types: symbolic (degree analysis), packed (prover quotient), single
+extension point (verifier), debug rows. Here the same python `eval` runs
+with four backends — the jax-native realization of that design (tracing IS
+symbolic evaluation, SURVEY.md §7 design stance):
+
+  * SymbolicBackend — values are polynomial degrees (in units of the trace
+    length); counts constraints and the max degree
+    (air/src/symbolic/builder.rs:105,166 semantics: entries/is_first/
+    is_last have degree 1, is_transition degree 0, constants 0).
+  * ProverBackend  — values are device base-field arrays over the whole
+    quotient domain (the TPU "packing width" is the entire domain); folds
+    constraints with descending alpha powers as they are emitted
+    (uni-stark/src/folder.rs:98: C_fold = Σ α^{K-1-i}·C_i).
+  * VerifierBackend — values are extension tuples at ζ; Horner fold
+    acc = acc·α + C (uni-stark/src/verifier.rs verify_constraints).
+  * DebugBackend — numpy row-wise exact check with failure reporting
+    (air/src/check_constraints.rs:429).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class Sym:
+    """Backend-tagged expression wrapper with operator overloads."""
+
+    __slots__ = ("b", "v")
+
+    def __init__(self, backend, value):
+        self.b = backend
+        self.v = value
+
+    def _lift(self, other):
+        if isinstance(other, Sym):
+            return other.v
+        return self.b.const(int(other))
+
+    def __add__(self, o):
+        return Sym(self.b, self.b.add(self.v, self._lift(o)))
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        return Sym(self.b, self.b.sub(self.v, self._lift(o)))
+
+    def __rsub__(self, o):
+        return Sym(self.b, self.b.sub(self._lift(o), self.v))
+
+    def __mul__(self, o):
+        return Sym(self.b, self.b.mul(self.v, self._lift(o)))
+
+    __rmul__ = __mul__
+
+    def __neg__(self):
+        return Sym(self.b, self.b.neg(self.v))
+
+
+@dataclass
+class RowWindow:
+    local: list  # [Sym] width entries of the current row
+    next: list  # [Sym] width entries of the next row
+
+
+class AirBuilder:
+    """The object handed to `air.eval`."""
+
+    def __init__(self, backend, main: RowWindow, public_values,
+                 is_first_row, is_last_row, is_transition):
+        self.backend = backend
+        self.main = main
+        self.public_values = public_values  # [Sym]
+        self.is_first_row = is_first_row  # Sym
+        self.is_last_row = is_last_row
+        self.is_transition = is_transition
+        self._filter = None  # optional Sym multiplied into constraints
+
+    # -- constraint emission ------------------------------------------
+    def assert_zero(self, x):
+        if not isinstance(x, Sym):
+            x = Sym(self.backend, self.backend.const(int(x)))
+        if self._filter is not None:
+            x = self._filter * x
+        self.backend.emit(x.v)
+
+    def assert_eq(self, a, b):
+        self.assert_zero(a - b)
+
+    def assert_one(self, x):
+        self.assert_zero(x - 1)
+
+    def assert_bool(self, x):
+        self.assert_zero(x * (x - 1))
+
+    # -- filtering (air/src/builder.rs when_* family) ------------------
+    def when(self, condition) -> "AirBuilder":
+        child = AirBuilder(
+            self.backend, self.main, self.public_values,
+            self.is_first_row, self.is_last_row, self.is_transition,
+        )
+        child._filter = (
+            condition if self._filter is None else self._filter * condition
+        )
+        return child
+
+    def when_first_row(self):
+        return self.when(self.is_first_row)
+
+    def when_last_row(self):
+        return self.when(self.is_last_row)
+
+    def when_transition(self):
+        return self.when(self.is_transition)
+
+
+# ----------------------------------------------------------------------
+# backends
+# ----------------------------------------------------------------------
+class SymbolicBackend:
+    """Degree arithmetic + constraint counting."""
+
+    def __init__(self):
+        self.constraint_degrees = []
+
+    def const(self, c):
+        return 0
+
+    def add(self, a, b):
+        return max(a, b)
+
+    sub = add
+
+    def mul(self, a, b):
+        return a + b
+
+    def neg(self, a):
+        return a
+
+    def emit(self, deg):
+        self.constraint_degrees.append(deg)
+
+
+class ProverBackend:
+    """Device base arrays over the quotient domain; eager alpha folding."""
+
+    def __init__(self, F, E, alpha_host, num_constraints):
+        self.F, self.E = F, E
+        # descending powers: constraint i gets alpha^{K-1-i}
+        pows = E.powers_np(alpha_host, num_constraints)[::-1].copy()
+        self.alpha_pows = pows  # (K, D) uint32 monty
+        self.idx = 0
+        self.acc = None  # list of D arrays
+
+    def const(self, c):
+        return self.F.const(c)
+
+    def add(self, a, b):
+        return self.F.add(a, b)
+
+    def sub(self, a, b):
+        return self.F.sub(a, b)
+
+    def mul(self, a, b):
+        return self.F.mul(a, b)
+
+    def neg(self, a):
+        return self.F.neg(a)
+
+    def emit(self, c):
+        ap = self.alpha_pows[self.idx]
+        self.idx += 1
+        terms = [self.F.mul(c, jnp.uint32(int(ap[d]))) for d in range(self.E.D)]
+        if self.acc is None:
+            self.acc = terms
+        else:
+            self.acc = [self.F.add(a, t) for a, t in zip(self.acc, terms)]
+
+    def finalize(self, shape):
+        if self.acc is None:
+            return jnp.zeros(tuple(shape) + (self.E.D,), jnp.uint32)
+        return jnp.stack(
+            [jnp.broadcast_to(a, shape) for a in self.acc], axis=-1
+        )
+
+
+class VerifierBackend:
+    """Extension tuples at a single out-of-domain point; Horner fold."""
+
+    def __init__(self, E, alpha_host):
+        self.E = E
+        self.alpha = alpha_host
+        self.acc = E.zero_h()
+
+    def const(self, c):
+        return self.E.from_base_h(c)
+
+    def add(self, a, b):
+        return self.E.add_h(a, b)
+
+    def sub(self, a, b):
+        return self.E.sub_h(a, b)
+
+    def mul(self, a, b):
+        return self.E.mul_h(a, b)
+
+    def neg(self, a):
+        return self.E.neg_h(a)
+
+    def emit(self, c):
+        self.acc = self.E.add_h(self.E.mul_h(self.acc, self.alpha), c)
+
+
+class DebugBackend:
+    """Numpy exact per-row evaluation with failure reports."""
+
+    def __init__(self, F, n_rows):
+        self.F = F
+        self.n = n_rows
+        self.failures = []
+        self.idx = 0
+
+    def const(self, c):
+        return np.full(self.n, c % self.F.P, dtype=np.uint64)
+
+    def add(self, a, b):
+        return (a + b) % np.uint64(self.F.P)
+
+    def sub(self, a, b):
+        return (a + np.uint64(self.F.P) - b) % np.uint64(self.F.P)
+
+    def mul(self, a, b):
+        return (a * b) % np.uint64(self.F.P)
+
+    def neg(self, a):
+        return (np.uint64(self.F.P) - a) % np.uint64(self.F.P)
+
+    def emit(self, c):
+        bad = np.nonzero(c != 0)[0]
+        if bad.size:
+            self.failures.append(
+                dict(constraint=self.idx, rows=bad[:10].tolist())
+            )
+        self.idx += 1

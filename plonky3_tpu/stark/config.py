@@ -1,0 +1,44 @@
+"""StarkConfig (uni-stark/src/config.rs:24,49): pcs + challenger factory."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..challenger.duplex import DuplexChallenger
+from ..fri.config import FriParameters
+from ..fri.two_adic_pcs import TwoAdicFriPcs
+from ..hashes.poseidon2 import default_poseidon2
+from ..hashes.sponge import PaddingFreeSponge, TruncatedPermutation
+from ..merkle.extension_mmcs import ExtensionMmcs
+from ..merkle.mmcs import MerkleTreeMmcs
+
+
+@dataclass(frozen=True)
+class StarkConfig:
+    pcs: TwoAdicFriPcs
+
+    @property
+    def F(self):
+        return self.pcs.F
+
+    @property
+    def E(self):
+        return self.pcs.E
+
+    def initialise_challenger(self) -> DuplexChallenger:
+        return DuplexChallenger(default_poseidon2(self.F, 24), rate=16)
+
+
+def poseidon2_stark_config(F, E, fri_params: FriParameters) -> StarkConfig:
+    """The Poseidon2 merkle/challenger config of the reference benchmarks
+    (examples/src/types.rs:44-62: sponge 24/16/8, compress 16 width,
+    duplex 24/16)."""
+    mmcs = MerkleTreeMmcs(
+        sponge=PaddingFreeSponge(default_poseidon2(F, 24), rate=16, out=8),
+        compressor=TruncatedPermutation(default_poseidon2(F, 16), chunk=8),
+    )
+    pcs = TwoAdicFriPcs(
+        F=F, E=E, fri=fri_params, mmcs=mmcs,
+        fri_mmcs=ExtensionMmcs(inner=mmcs, D=E.D),
+    )
+    return StarkConfig(pcs=pcs)

@@ -1,0 +1,130 @@
+"""uni-stark verifier (uni-stark/src/verifier.rs:273, no-ZK).
+
+Replays the prover transcript, validates proof shape, runs the PCS
+verification, recomposes the quotient from its chunks
+(recompose_quotient_from_chunks :98) and checks
+C_fold(ζ)/Z_H(ζ) == Q(ζ) (verify_constraints :142 —
+OodEvaluationMismatch otherwise).
+"""
+
+from __future__ import annotations
+
+from ..air.api import BaseAir, _make_builder, get_log_num_quotient_chunks
+from ..air.builder import VerifierBackend
+from .config import StarkConfig
+from .proof import Proof
+
+
+class VerificationError(Exception):
+    pass
+
+
+def verify(
+    config: StarkConfig,
+    air: BaseAir,
+    proof: Proof,
+    public_values,
+):
+    F, E, pcs = config.F, config.E, config.pcs
+    log_n = proof.degree_bits
+    if log_n > F.TWO_ADICITY - pcs.fri.log_blowup:
+        raise VerificationError("InvalidProofShape: degree too large")
+    n = 1 << log_n
+
+    log_num_chunks = get_log_num_quotient_chunks(air)
+    num_chunks = 1 << log_num_chunks
+
+    ov = proof.opened_values
+    if (
+        len(ov.trace_local) != air.width
+        or len(ov.trace_next) != air.width
+        or len(ov.quotient_chunks) != num_chunks
+        or any(len(ch) != E.D for ch in ov.quotient_chunks)
+    ):
+        raise VerificationError("InvalidProofShape")
+
+    trace_domain = pcs.natural_domain_for_degree(n)
+    quotient_domain = trace_domain.create_disjoint_domain(
+        1 << (log_n + log_num_chunks)
+    )
+    chunk_domains = quotient_domain.split_domains(num_chunks)
+
+    ch = config.initialise_challenger()
+    ch.observe(log_n)
+    ch.observe(log_n)
+    ch.observe(0)
+    ch.observe_many(proof.commitments.trace)
+    ch.observe_many(public_values)
+    alpha = ch.sample_ext(E.D)
+    ch.observe_many(proof.commitments.quotient_chunks)
+    zeta = ch.sample_ext(E.D)
+    zeta_next = trace_domain.next_point_ext(E, zeta)
+
+    # Reject ζ in the LDE domain (completeness/soundness guard,
+    # verifier.rs:448): ζ must not be a base-field coset point; any such
+    # collision is caught by the PCS (OpeningPointMatchesQueryPoint).
+    coords = [
+        (trace_domain, [(zeta, ov.trace_local), (zeta_next, ov.trace_next)])
+    ]
+    quotient_coords = [
+        (dom, [(zeta, vals)])
+        for dom, vals in zip(chunk_domains, ov.quotient_chunks)
+    ]
+
+    from ..fri.verifier import FriError
+
+    try:
+        pcs.verify(
+            [
+                (proof.commitments.trace, coords),
+                (proof.commitments.quotient_chunks, quotient_coords),
+            ],
+            proof.opening_proof,
+            ch,
+        )
+    except FriError as e:
+        raise VerificationError(f"InvalidOpeningArgument: {e}") from e
+
+    # recompose Q(ζ) from chunks (verifier.rs:98)
+    zps = []
+    for i, dom in enumerate(chunk_domains):
+        acc = E.one_h()
+        for j, other in enumerate(chunk_domains):
+            if j == i:
+                continue
+            num = other.vanishing_poly_at_point_ext(E, zeta)
+            den = other.vanishing_poly_at_point_ext(
+                E, E.from_base_h(dom.first_point())
+            )
+            acc = E.mul_h(acc, E.mul_h(num, E.inv_h(den)))
+        zps.append(acc)
+    quotient = E.zero_h()
+    for zp, chunk in zip(zps, ov.quotient_chunks):
+        val = E.zero_h()
+        for d, c in enumerate(chunk):
+            # chunk[d] is the d-th basis-coefficient polynomial of Q at ζ
+            basis = [0] * E.D
+            basis[d] = 1
+            val = E.add_h(val, E.mul_h(c, tuple(basis)))
+        quotient = E.add_h(quotient, E.mul_h(zp, val))
+
+    # evaluate folded constraints at ζ (verify_constraints :142)
+    sels = trace_domain.selectors_at_point_ext(E, zeta)
+    backend = VerifierBackend(E, alpha)
+
+    def entry(kind, j):
+        if kind == "local":
+            return ov.trace_local[j]
+        if kind == "next":
+            return ov.trace_next[j]
+        return sels[kind]
+
+    builder = _make_builder(
+        backend, air.width, air.num_public_values, entry,
+        lambda j: E.from_base_h(public_values[j]),
+    )
+    air.eval(builder)
+    folded = backend.acc
+
+    if E.mul_h(folded, sels["inv_vanishing"]) != quotient:
+        raise VerificationError("OodEvaluationMismatch")
