@@ -63,6 +63,38 @@ class Sym:
         return Sym(self.b, self.b.neg(self.v))
 
 
+def stack_syms(syms):
+    """Stack Syms into one vector Sym (leading axis = len(syms)).
+
+    The TPU-native move for wide AIRs (e.g. vectorized Poseidon2, 1312
+    columns): per-lane constraints become single array ops in the prover
+    backend instead of thousands of scalar graph nodes.
+    """
+    b = syms[0].b
+    return Sym(b, b.stack([s.v for s in syms]))
+
+
+def _ew(op, a, b):
+    """Elementwise op over possibly-nested list values (host backends)."""
+    la, lb = isinstance(a, list), isinstance(b, list)
+    if la or lb:
+        if not la:
+            a = [a] * len(b)
+        if not lb:
+            b = [b] * len(a)
+        return [_ew(op, x, y) for x, y in zip(a, b)]
+    return op(a, b)
+
+
+def _flatten(v, out):
+    if isinstance(v, list):
+        for x in v:
+            _flatten(x, out)
+    else:
+        out.append(v)
+    return out
+
+
 @dataclass
 class RowWindow:
     local: list  # [Sym] width entries of the current row
@@ -99,6 +131,16 @@ class AirBuilder:
     def assert_bool(self, x):
         self.assert_zero(x * (x - 1))
 
+    def assert_zero_block(self, x: Sym, count: int):
+        """Emit `count` constraints at once from a vector Sym (row-major
+        over its stacked leading axes)."""
+        if self._filter is not None:
+            x = self._filter * x
+        self.backend.emit_block(x.v, count)
+
+    def assert_eq_block(self, a: Sym, b: Sym, count: int):
+        self.assert_zero_block(a - b, count)
+
     # -- filtering (air/src/builder.rs when_* family) ------------------
     def when(self, condition) -> "AirBuilder":
         child = AirBuilder(
@@ -133,18 +175,26 @@ class SymbolicBackend:
         return 0
 
     def add(self, a, b):
-        return max(a, b)
+        return _ew(max, a, b)
 
     sub = add
 
     def mul(self, a, b):
-        return a + b
+        return _ew(lambda x, y: x + y, a, b)
 
     def neg(self, a):
         return a
 
     def emit(self, deg):
         self.constraint_degrees.append(deg)
+
+    def stack(self, vals):
+        return list(vals)
+
+    def emit_block(self, v, count):
+        flat = _flatten(v, [])
+        assert len(flat) == count
+        self.constraint_degrees.extend(flat)
 
 
 class ProverBackend:
@@ -182,6 +232,26 @@ class ProverBackend:
         else:
             self.acc = [self.F.add(a, t) for a, t in zip(self.acc, terms)]
 
+    def stack(self, vals):
+        return jnp.stack([jnp.broadcast_to(v, jnp.broadcast_shapes(
+            *[jnp.shape(x) for x in vals])) for v in vals], axis=0)
+
+    def emit_block(self, v, count):
+        """v: (..., Nq) with leading axes flattening to `count` constraints;
+        constraint k gets alpha power idx+k (row-major), one batched
+        mul-reduce per extension coordinate."""
+        flat = v.reshape(count, v.shape[-1])  # (K, Nq)
+        ap = jnp.asarray(self.alpha_pows[self.idx : self.idx + count])
+        self.idx += count
+        terms = [
+            self.F.sum(self.F.mul(flat, ap[:, d][:, None]), axis=0)
+            for d in range(self.E.D)
+        ]
+        if self.acc is None:
+            self.acc = terms
+        else:
+            self.acc = [self.F.add(a, t) for a, t in zip(self.acc, terms)]
+
     def finalize(self, shape):
         if self.acc is None:
             return jnp.zeros(tuple(shape) + (self.E.D,), jnp.uint32)
@@ -202,19 +272,28 @@ class VerifierBackend:
         return self.E.from_base_h(c)
 
     def add(self, a, b):
-        return self.E.add_h(a, b)
+        return _ew(self.E.add_h, a, b)
 
     def sub(self, a, b):
-        return self.E.sub_h(a, b)
+        return _ew(self.E.sub_h, a, b)
 
     def mul(self, a, b):
-        return self.E.mul_h(a, b)
+        return _ew(self.E.mul_h, a, b)
 
     def neg(self, a):
-        return self.E.neg_h(a)
+        return _ew(lambda x, _: self.E.neg_h(x), a, a)
 
     def emit(self, c):
         self.acc = self.E.add_h(self.E.mul_h(self.acc, self.alpha), c)
+
+    def stack(self, vals):
+        return list(vals)
+
+    def emit_block(self, v, count):
+        flat = _flatten(v, [])
+        assert len(flat) == count
+        for c in flat:
+            self.emit(c)
 
 
 class DebugBackend:
@@ -230,16 +309,22 @@ class DebugBackend:
         return np.full(self.n, c % self.F.P, dtype=np.uint64)
 
     def add(self, a, b):
-        return (a + b) % np.uint64(self.F.P)
+        return _ew(lambda x, y: (x + y) % np.uint64(self.F.P), a, b)
 
     def sub(self, a, b):
-        return (a + np.uint64(self.F.P) - b) % np.uint64(self.F.P)
+        return _ew(
+            lambda x, y: (x + np.uint64(self.F.P) - y) % np.uint64(self.F.P),
+            a, b,
+        )
 
     def mul(self, a, b):
-        return (a * b) % np.uint64(self.F.P)
+        return _ew(lambda x, y: (x * y) % np.uint64(self.F.P), a, b)
 
     def neg(self, a):
-        return (np.uint64(self.F.P) - a) % np.uint64(self.F.P)
+        return _ew(
+            lambda x, _: (np.uint64(self.F.P) - x) % np.uint64(self.F.P),
+            a, a,
+        )
 
     def emit(self, c):
         bad = np.nonzero(c != 0)[0]
@@ -248,3 +333,12 @@ class DebugBackend:
                 dict(constraint=self.idx, rows=bad[:10].tolist())
             )
         self.idx += 1
+
+    def stack(self, vals):
+        return list(vals)
+
+    def emit_block(self, v, count):
+        flat = _flatten(v, [])
+        assert len(flat) == count
+        for c in flat:
+            self.emit(np.broadcast_to(c, (self.n,)))

@@ -229,12 +229,90 @@ class Poseidon2:
         return new
 
     # ------------------------------------------------------------------
+    # array-form device kernel (scan over rounds -> small HLO graph)
+    # ------------------------------------------------------------------
+    def _device_consts(self):
+        """Round constants / diagonal as device-ready Monty uint32 arrays."""
+        cached = getattr(self, "_dc", None)
+        if cached is None:
+            F = self.F
+
+            def to_m(xs):
+                return F.to_monty_np(np.asarray(xs, dtype=np.uint32))
+
+            cached = dict(
+                rc_ei=to_m(self.rc_external_initial),
+                rc_ef=to_m(self.rc_external_final),
+                rc_int=to_m(self.rc_internal),
+                diag=to_m(self.diag_std),
+            )
+            object.__setattr__(self, "_dc", cached)
+        return cached
+
+    def _mds_light_arr(self, x):
+        """External linear layer on (..., width) arrays (external.rs:113)."""
+        F, w = self.F, self.width
+        assert w % 4 == 0, "array kernel supports widths divisible by 4"
+        b = x.reshape(x.shape[:-1] + (w // 4, 4))
+        x0, x1, x2, x3 = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+        t01 = F.add(x0, x1)
+        t23 = F.add(x2, x3)
+        t0123 = F.add(t01, t23)
+        t01123 = F.add(t0123, x1)
+        t01233 = F.add(t0123, x3)
+        st = jnp.stack(
+            [
+                F.add(t01123, t01),
+                F.add(t01123, F.double(x2)),
+                F.add(t01233, t23),
+                F.add(t01233, F.double(x0)),
+            ],
+            axis=-1,
+        )  # (..., w/4, 4)
+        tot = F.sum(st, axis=-2)  # (..., 4): column sums over blocks
+        out = F.add(st, tot[..., None, :])
+        return out.reshape(x.shape)
+
+    def _sbox_arr(self, x):
+        F = self.F
+        if self.d == 3:
+            return F.mul(F.square(x), x)
+        if self.d == 5:
+            x2 = F.square(x)
+            return F.mul(F.square(x2), x)
+        if self.d == 7:
+            x2 = F.square(x)
+            return F.mul(F.mul(F.square(x2), x2), x)
+        raise ValueError(f"unsupported s-box degree {self.d}")
+
     def permute_device(self, states):
-        """Batched device permutation: states (..., width) uint32 Monty."""
-        ops = DeviceOps(self.F)
-        lanes = [states[..., i] for i in range(self.width)]
-        lanes = self.permute(ops, lanes)
-        return jnp.stack(lanes, axis=-1)
+        """Batched device permutation: states (..., width) uint32 Monty.
+
+        lax.scan over rounds keeps the HLO graph one-round-sized, so whole
+        pipelines (LDE + full Merkle tree) stay jittable in one program.
+        """
+        import jax
+
+        F = self.F
+        c = self._device_consts()
+        diag = jnp.asarray(c["diag"])
+
+        def ext_body(s, rc):
+            s = F.add(s, rc)  # rc (w,) broadcasts over batch dims
+            return self._mds_light_arr(self._sbox_arr(s)), None
+
+        def int_body(s, rc):
+            s0 = self._sbox_arr(F.add(s[..., 0], rc))
+            s = jnp.concatenate([s0[..., None], s[..., 1:]], axis=-1)
+            total = F.sum(s, axis=-1)
+            # out_i = total + V_i * s_i, V[0] = -2 (poseidon2.rs:77-90)
+            return F.add(total[..., None], F.mul(s, diag)), None
+
+        x = self._mds_light_arr(states)
+        x, _ = jax.lax.scan(ext_body, x, jnp.asarray(c["rc_ei"]))
+        x, _ = jax.lax.scan(int_body, x, jnp.asarray(c["rc_int"]))
+        x, _ = jax.lax.scan(ext_body, x, jnp.asarray(c["rc_ef"]))
+        return x
 
     def permute_host(self, state):
         """Exact host permutation: list/tuple of standard-form ints."""

@@ -31,22 +31,23 @@ class PaddingFreeSponge:
     def hash_rows_device(self, mats):
         """Hash each row of the horizontal concat of `mats` -> (h, out).
 
-        mats: list of (h, w_i) uint32 Monty device arrays.
+        mats: list of (h, w_i) uint32 Monty device arrays. Overwrite-mode
+        absorption: each rate-block of row elements overwrites the first
+        lanes, then one batched array permutation (sponge.rs:157).
         """
         h = mats[0].shape[0]
         width = self.perm.width
-        cols = [m[:, j] for m in mats for j in range(m.shape[1])]
-        state = [jnp.zeros((h,), jnp.uint32) for _ in range(width)]
-        pos = 0
-        for c in cols:
-            state[pos] = c
-            pos += 1
-            if pos == self.rate:
-                state = self.perm.permute(self._ops(), state)
-                pos = 0
-        if pos > 0:
-            state = self.perm.permute(self._ops(), state)
-        return jnp.stack(state[: self.out], axis=-1)
+        flat = jnp.concatenate(
+            [m.reshape(h, -1) for m in mats], axis=1
+        )  # (h, total_w)
+        total = flat.shape[1]
+        state = jnp.zeros((h, width), jnp.uint32)
+        for start in range(0, total, self.rate):
+            block = flat[:, start : start + self.rate]
+            k = block.shape[1]
+            state = jnp.concatenate([block, state[:, k:]], axis=1)
+            state = self.perm.permute_device(state)
+        return state[:, : self.out]
 
     def hash_iter_host(self, elems):
         """Exact host hash of a flat iterable of standard-form ints."""
@@ -80,17 +81,10 @@ class TruncatedPermutation:
         h = left.shape[0]
         width = self.perm.width
         assert 2 * self.chunk <= width
-        state = [None] * width
-        for i in range(self.chunk):
-            state[i] = left[:, i]
-            state[self.chunk + i] = right[:, i]
-        zero = jnp.zeros((h,), jnp.uint32)
-        for i in range(2 * self.chunk, width):
-            state[i] = zero
-        from .poseidon2 import DeviceOps
-
-        state = self.perm.permute(DeviceOps(self.perm.F), state)
-        return jnp.stack(state[: self.chunk], axis=-1)
+        pad = jnp.zeros((h, width - 2 * self.chunk), jnp.uint32)
+        state = jnp.concatenate([left, right, pad], axis=1)
+        state = self.perm.permute_device(state)
+        return state[:, : self.chunk]
 
     def compress_host(self, left, right):
         state = list(left) + list(right)
