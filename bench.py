@@ -1,15 +1,23 @@
 """Headline benchmark — prints ONE JSON line for the driver.
 
-Current metric: KoalaBear coset-LDE (blowup 2) + Poseidon2-24/16/8 Merkle
-commit throughput (BASELINE.md config #2), measured on the real chip.
-`vs_baseline` is null: the reference publishes no absolute numbers
-(BASELINE.md "Published numbers"); the recorded value is the absolute
-number to track round over round.
+Canonical metric (BASELINE.md): prove 2^20 Poseidon2-width-16 permutations
+(KoalaBear, 8 perms/row x 2^17 rows) with production FRI parameters
+(log_blowup=1, 100 queries, 16-bit query PoW, arity up to 2^3 — 116-bit
+conjectured soundness) and the keccak-f Merkle hash, on the real chip.
+
+Two proves run in-process: run 0 pays one-time XLA compiles; run 1 is the
+steady-state number reported (the reference's criterion benches likewise
+measure warm runs). The proof from run 1 is verified before reporting.
+`vs_baseline` is null — the reference publishes no absolute numbers
+(BASELINE.md "Published numbers").
+
+Env knobs: BENCH_LOG_N (default 17), BENCH_MERKLE (keccak-f | poseidon2).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -18,42 +26,46 @@ import numpy as np
 def main():
     import jax
 
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from plonky3_tpu.fields import KoalaBearExt4 as E
     from plonky3_tpu.fields.params import KoalaBear as F
-    from plonky3_tpu.hashes.poseidon2 import default_poseidon2
-    from plonky3_tpu.hashes.sponge import PaddingFreeSponge, TruncatedPermutation
-    from plonky3_tpu.ops.ntt import coset_lde_batch
+    from plonky3_tpu.fri.config import FriParameters
+    from plonky3_tpu.models.poseidon2_air import (
+        Poseidon2VectorAir,
+        generate_vectorized_trace,
+    )
+    from plonky3_tpu.stark.config import (
+        keccak_stark_config,
+        poseidon2_stark_config,
+    )
+    from plonky3_tpu.stark.prover import prove
+    from plonky3_tpu.stark.verifier import verify
 
-    sponge = PaddingFreeSponge(default_poseidon2(F, 24), rate=16, out=8)
-    compressor = TruncatedPermutation(default_poseidon2(F, 16), chunk=8)
+    log_n = int(os.environ.get("BENCH_LOG_N", "17"))
+    merkle = os.environ.get("BENCH_MERKLE", "keccak-f")
+    mk = keccak_stark_config if merkle == "keccak-f" else poseidon2_stark_config
+    config = mk(F, E, FriParameters.new_benchmark_high_arity())
 
-    LOG_N, WIDTH = 16, 64
-
-    def step(trace):
-        lde = coset_lde_batch(F, trace, 1, F.GENERATOR)
-        layer = sponge.hash_rows_device([lde])
-        while layer.shape[0] > 1:
-            h = layer.shape[0] // 2
-            pairs = layer.reshape(h, 2, 8)
-            layer = compressor.compress_device(pairs[:, 0], pairs[:, 1])
-        return layer[0]
-
-    fn = jax.jit(step)
+    air = Poseidon2VectorAir(F, 16, vector_len=8)
+    n_perms = 8 << log_n
     rng = np.random.default_rng(1)
-    trace = rng.integers(0, F.P, size=(1 << LOG_N, WIDTH), dtype=np.uint32)
-    trace = jax.device_put(trace)
+    inputs = jnp.asarray(F.rand_np(rng, (n_perms, 16)))
+    trace, _ = generate_vectorized_trace(air, inputs)
+    trace.block_until_ready()
 
-    jax.block_until_ready(fn(trace))  # compile
-    n_iter = 5
+    prove(config, air, trace, [])  # warm-up: one-time compiles
     t0 = time.perf_counter()
-    for _ in range(n_iter):
-        jax.block_until_ready(fn(trace))
-    dt = (time.perf_counter() - t0) / n_iter
+    proof = prove(config, air, trace, [])
+    dt = time.perf_counter() - t0
+    verify(config, air, proof, [])
 
-    cells = (1 << (LOG_N + 1)) * WIDTH  # LDE output cells hashed+committed
     print(json.dumps({
-        "metric": f"lde2x_merkle_commit_2^{LOG_N}x{WIDTH}_koalabear",
-        "value": round(cells / dt / 1e6, 2),
-        "unit": "Mcells/s",
+        "metric": f"prove_2^{log_n + 3}_poseidon2_perms_{merkle}_koalabear",
+        "value": round(n_perms / dt, 1),
+        "unit": "perms/s",
         "vs_baseline": None,
     }))
 

@@ -198,13 +198,16 @@ class SymbolicBackend:
 
 
 class ProverBackend:
-    """Device base arrays over the quotient domain; eager alpha folding."""
+    """Device base arrays over the quotient domain; eager alpha folding.
 
-    def __init__(self, F, E, alpha_host, num_constraints):
+    `alpha_pows` is a (K, D) uint32 Monty array — descending powers, so
+    constraint i gets alpha^{K-1-i} (folder.rs:98). It may be a traced
+    value: the whole quotient pass jits as one program.
+    """
+
+    def __init__(self, F, E, alpha_pows):
         self.F, self.E = F, E
-        # descending powers: constraint i gets alpha^{K-1-i}
-        pows = E.powers_np(alpha_host, num_constraints)[::-1].copy()
-        self.alpha_pows = pows  # (K, D) uint32 monty
+        self.alpha_pows = alpha_pows  # (K, D) uint32 monty
         self.idx = 0
         self.acc = None  # list of D arrays
 
@@ -226,7 +229,7 @@ class ProverBackend:
     def emit(self, c):
         ap = self.alpha_pows[self.idx]
         self.idx += 1
-        terms = [self.F.mul(c, jnp.uint32(int(ap[d]))) for d in range(self.E.D)]
+        terms = [self.F.mul(c, ap[d]) for d in range(self.E.D)]
         if self.acc is None:
             self.acc = terms
         else:

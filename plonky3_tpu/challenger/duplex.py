@@ -58,6 +58,12 @@ class DuplexChallenger:
         for v in values:
             self.observe(int(v))
 
+    def observe_digest(self, values):
+        """Commitment roots are field digests for the duplex challenger —
+        same as observe_many. (SerializingChallenger32 overrides with raw
+        little-endian byte observation of u64 digest words.)"""
+        self.observe_many(values)
+
     def observe_ext(self, ext_tuple):
         for c in ext_tuple:
             self.observe(int(c))

@@ -1,0 +1,120 @@
+"""SerializingChallenger32 over HashChallenger<u8, Keccak256, 32>.
+
+Byte-exact model of `challenger/src/serializing_challenger.rs:25` +
+`hash_challenger.rs:10`:
+
+  observe(F):   push LE bytes of the MONTY form (to_unique_u32,
+                monty_31.rs:688 — "fine to hash things in monty form")
+  observe u64 digests: LE bytes of each u64 word
+  flush():      digest = keccak256(input_buffer); input_buffer = digest
+                (chaining); output_buffer = digest
+  sample u8:    pop from the END of output_buffer
+  sample F:     4 popped bytes as LE u32, mask to 2^ceil(log2 P)-1,
+                rejection-sample until < P
+  sample_bits:  4 popped bytes as LE u32 & (2^bits - 1)
+  grind(bits):  smallest F witness w with sample_bits(bits)==0 after
+                observe(w) — searched with the vectorized numpy keccak
+                batch kernel, then replayed on the transcript.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..hashes.keccak import keccak256, keccak256_np_batch
+
+
+class SerializingChallenger32:
+    def __init__(self, F):
+        self.F = F
+        self.input_buffer = bytearray()
+        self.output_buffer = []  # list of ints (bytes); pop from end
+
+    # -- observation ----------------------------------------------------
+    def observe(self, value: int):
+        """Observe a field element (standard form int)."""
+        m = self.F.to_monty_h(int(value) % self.F.P)
+        self.output_buffer.clear()
+        self.input_buffer += m.to_bytes(4, "little")
+
+    def observe_many(self, values):
+        for v in values:
+            self.observe(int(v))
+
+    def observe_ext(self, ext_tuple):
+        for c in ext_tuple:
+            self.observe(int(c))
+
+    def observe_digest(self, values):
+        """Keccak Merkle roots: 8 raw u32 words = 4 u64s, LE bytes."""
+        self.output_buffer.clear()
+        for v in values:
+            self.input_buffer += (int(v) & 0xFFFFFFFF).to_bytes(4, "little")
+
+    # -- sampling ---------------------------------------------------------
+    def _flush(self):
+        digest = keccak256(bytes(self.input_buffer))
+        self.input_buffer = bytearray(digest)
+        self.output_buffer = list(digest)
+
+    def _sample_byte(self) -> int:
+        if not self.output_buffer:
+            self._flush()
+        return self.output_buffer.pop()
+
+    def _sample_u32(self) -> int:
+        b = [self._sample_byte() for _ in range(4)]
+        return b[0] | (b[1] << 8) | (b[2] << 16) | (b[3] << 24)
+
+    def sample(self) -> int:
+        bound = (1 << (self.F.P - 1).bit_length()) - 1
+        while True:
+            v = self._sample_u32() & bound
+            if v < self.F.P:
+                return v
+
+    def sample_ext(self, D: int) -> tuple:
+        return tuple(self.sample() for _ in range(D))
+
+    def sample_bits(self, bits: int) -> int:
+        assert (1 << bits) < self.F.P
+        return self._sample_u32() & ((1 << bits) - 1)
+
+    # -- proof of work ----------------------------------------------------
+    def check_witness(self, bits: int, witness: int) -> bool:
+        if bits == 0:
+            return True  # mirror grind(0): no transcript interaction
+        self.observe(witness)
+        return self.sample_bits(bits) == 0
+
+    def grind(self, bits: int, batch: int = 1 << 15) -> int:
+        if bits == 0:
+            # grind(0) still observes witness 0 and samples
+            # (grinding_challenger.rs returns ZERO without transcript
+            # interaction — mirror that)
+            return 0
+        prefix = bytes(self.input_buffer)
+        mask = (1 << bits) - 1
+        start = 0
+        while start < self.F.P:
+            n = min(batch, self.F.P - start)
+            cands = np.arange(start, start + n, dtype=np.uint64)
+            cands_m = ((cands << np.uint64(32)) % np.uint64(self.F.P)).astype(
+                np.uint32
+            )
+            digests = keccak256_np_batch(prefix, cands_m)
+            # sample_bits value: bytes popped from the END of the digest
+            v = (
+                digests[:, 31].astype(np.uint32)
+                | (digests[:, 30].astype(np.uint32) << 8)
+                | (digests[:, 29].astype(np.uint32) << 16)
+                | (digests[:, 28].astype(np.uint32) << 24)
+            )
+            hits = np.nonzero((v & np.uint32(mask)) == 0)[0]
+            if hits.size:
+                w = int(start + hits[0])
+                ok = self.check_witness(bits, w)
+                assert ok
+                return w
+            start += n
+        raise RuntimeError("no grind witness found")

@@ -1,0 +1,159 @@
+"""Benchmark / demo CLI — the `examples/examples/prove_prime_field_31.rs`
+analog (:51-73 flag matrix). Usage:
+
+    python -m plonky3_tpu.cli prove --field koala-bear \
+        --objective poseidon-2-permutations --log-trace-length 17 \
+        --fri benchmark-high-arity
+
+Prints per-phase wall-clock (the reference's tracing-forest span tree,
+SURVEY.md §5 tracing), proof size, and the conjectured soundness bits.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def _field(name):
+    from .fields import (
+        BabyBear,
+        BabyBearExt4,
+        KoalaBear,
+        KoalaBearExt4,
+    )
+
+    return {
+        "koala-bear": (KoalaBear, KoalaBearExt4),
+        "baby-bear": (BabyBear, BabyBearExt4),
+    }[name]
+
+
+def _fri_params(name):
+    from .fri.config import FriParameters
+
+    return {
+        "testing": FriParameters.new_testing(),
+        "benchmark": FriParameters.new_benchmark(),
+        "benchmark-high-arity": FriParameters.new_benchmark_high_arity(),
+    }[name]
+
+
+class _Spans:
+    """Minimal span-tree timer (tracing-forest analog)."""
+
+    def __init__(self):
+        self.rows = []
+
+    def span(self, name):
+        import contextlib
+
+        @contextlib.contextmanager
+        def cm():
+            t0 = time.perf_counter()
+            yield
+            self.rows.append((name, time.perf_counter() - t0))
+
+        return cm()
+
+    def report(self):
+        total = sum(t for n, t in self.rows if not n.startswith("  "))
+        for name, t in self.rows:
+            print(f"  {name:<28s} {t*1e3:10.1f} ms")
+        print(f"  {'TOTAL':<28s} {total*1e3:10.1f} ms")
+        return total
+
+
+def cmd_prove(args):
+    import jax
+
+    # persistent compile cache: repeat runs (and the driver bench) skip the
+    # multi-minute XLA compiles of the fused phase programs
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .models.fibonacci import FibonacciAir, generate_fibonacci_trace
+    from .models.poseidon2_air import (
+        Poseidon2VectorAir,
+        generate_vectorized_trace,
+    )
+    from .stark.config import keccak_stark_config, poseidon2_stark_config
+    from .stark.prover import prove
+    from .stark.verifier import verify
+
+    F, E = _field(args.field)
+    mk_config = {
+        "poseidon2": poseidon2_stark_config,
+        "keccak-f": keccak_stark_config,
+    }[args.merkle_hash]
+    config = mk_config(F, E, _fri_params(args.fri))
+    spans = _Spans()
+    log_n = args.log_trace_length
+
+    if args.objective == "poseidon-2-permutations":
+        vector_len = 1 << args.log_vector_len
+        air = Poseidon2VectorAir(F, 16, vector_len=vector_len)
+        rng = np.random.default_rng(1)
+        n_perms = vector_len << log_n
+        inputs = jnp.asarray(F.rand_np(rng, (n_perms, 16)))
+        with spans.span("generate trace (device)"):
+            trace, _ = generate_vectorized_trace(air, inputs)
+            trace.block_until_ready()
+        publics = []
+        print(
+            f"objective: {n_perms} Poseidon2-16 permutations "
+            f"({vector_len}/row x 2^{log_n} rows, width {air.width})"
+        )
+    elif args.objective == "fibonacci":
+        air = FibonacciAir(F)
+        with spans.span("generate trace (host)"):
+            rows, publics = generate_fibonacci_trace(F, log_n)
+            trace = jnp.asarray(F.to_monty_np(rows))
+    else:
+        raise SystemExit(f"unknown objective {args.objective}")
+
+    for rep in range(args.repeat):
+        phase = {}
+        with spans.span(f"prove (total, run {rep})"):
+            proof = prove(config, air, trace, publics, spans=phase)
+        spans.rows.extend((f"  prove: {k}", v) for k, v in phase.items())
+
+    with spans.span("verify (host)"):
+        verify(config, air, proof, publics)
+
+    total = spans.report()
+    size = proof.size_in_bytes() if hasattr(proof, "size_in_bytes") else None
+    if size is not None:
+        print(f"  proof size: {size} bytes")
+    fp = config.pcs.fri
+    print(
+        f"  conjectured soundness: {fp.conjectured_soundness_bits()} bits"
+    )
+    return total
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="plonky3_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    p = sub.add_parser("prove")
+    p.add_argument("--field", default="koala-bear",
+                   choices=["koala-bear", "baby-bear"])
+    p.add_argument("--objective", default="poseidon-2-permutations",
+                   choices=["poseidon-2-permutations", "fibonacci"])
+    p.add_argument("--log-trace-length", type=int, default=10)
+    p.add_argument("--log-vector-len", type=int, default=3)
+    p.add_argument("--fri", default="benchmark-high-arity",
+                   choices=["testing", "benchmark", "benchmark-high-arity"])
+    p.add_argument("--merkle-hash", default="poseidon2",
+                   choices=["poseidon2", "keccak-f"])
+    p.add_argument("--repeat", type=int, default=1,
+                   help="prove N times; report each (steady-state timing)")
+    args = ap.parse_args(argv)
+    if args.cmd == "prove":
+        cmd_prove(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -170,6 +170,33 @@ class BinomialExtension:
         """base-field array (...,) × ext array (..., D) -> ext."""
         return self.base.mul(s[..., None], a)
 
+    # ---- numpy (host, exact) variants for small-tail prover work ----
+    def add_np(self, a, b):
+        return self.base.add_np(a, b)
+
+    def sub_np(self, a, b):
+        return self.base.sub_np(a, b)
+
+    def mul_np(self, a, b):
+        F, d, w = self.base, self.D, self.W
+        a = np.asarray(a)
+        b = np.asarray(b)
+        out = [None] * d
+        for i in range(d):
+            for j in range(d):
+                prod = F.mul_np(a[..., i], b[..., j])
+                k = i + j
+                if k >= d:
+                    k -= d
+                    prod = F.mul_np(
+                        prod, np.uint32(F.to_monty_h(w % F.P))
+                    )
+                out[k] = prod if out[k] is None else F.add_np(out[k], prod)
+        return np.stack(out, axis=-1)
+
+    def base_mul_np(self, s, a):
+        return self.base.mul_np(np.asarray(s)[..., None], np.asarray(a))
+
     def frobenius(self, a, count: int = 1):
         p = self.base.P
         s = pow(self.DTH_ROOT, count, p)

@@ -228,6 +228,48 @@ class Monty31:
         return x[0]
 
     # ------------------------------------------------------------------
+    # vectorized HOST (numpy) field ops on Monty-form uint32 arrays —
+    # exact uint64 arithmetic, zero device compiles. Used for the small
+    # tails of the prover (late FRI rounds, small trees) where an XLA
+    # compile costs more than the whole computation.
+    # ------------------------------------------------------------------
+    def add_np(self, a, b):
+        s = a.astype(np.uint32) + b
+        return np.where(s >= _U32(self.P), s - _U32(self.P), s)
+
+    def sub_np(self, a, b):
+        d = a.astype(np.uint32) - b
+        return np.where(a < b, d + _U32(self.P), d)
+
+    def mul_np(self, a, b):
+        """Monty product via uint64 — same subtractive REDC as `mul`
+        (monty_reduce, utils.rs:103-126): t = lo32(a·b)·MU mod 2^32,
+        r = hi32(a·b) − hi32(t·P), +P on borrow."""
+        full = a.astype(np.uint64) * b.astype(np.uint64)
+        hi = (full >> np.uint64(32)).astype(np.uint32)
+        t = (full * np.uint64(self.MU)) & np.uint64(0xFFFFFFFF)
+        u_hi = ((t * np.uint64(self.P)) >> np.uint64(32)).astype(np.uint32)
+        r = hi - u_hi
+        return np.where(hi < u_hi, r + _U32(self.P), r)
+
+    def square_np(self, a):
+        return self.mul_np(a, a)
+
+    def double_np(self, a):
+        return self.add_np(a, a)
+
+    def halve_np(self, a):
+        shifted = a >> 1
+        return np.where(
+            (a & 1) == 1, shifted + _U32((self.P + 1) // 2), shifted
+        )
+
+    def sum_np(self, x, axis=0):
+        return (
+            x.astype(np.uint64).sum(axis=axis) % np.uint64(self.P)
+        ).astype(np.uint32)
+
+    # ------------------------------------------------------------------
     # powers / twiddles (host precompute, exact)
     # ------------------------------------------------------------------
     def powers_np(self, base_std: int, count: int, monty: bool = True) -> np.ndarray:

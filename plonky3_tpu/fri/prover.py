@@ -19,6 +19,9 @@ Arity 2^k decomposes into k such steps with beta, beta^2, ..., beta^{2^{k-1}}.
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -37,8 +40,8 @@ def _halve_inv_powers(F, log_h: int):
     return bitrev_permute_axis0(p, log_h)
 
 
-def fold_step_device(E: BinomialExtension, folded, beta_host):
-    """One arity-2 fold of a bit-reversed ext codeword (2h, D) -> (h, D)."""
+@partial(jax.jit, static_argnames=("E",))
+def _fold_step_jit(E: BinomialExtension, folded, beta_m):
     F = E.base
     h2, D = folded.shape
     h = h2 // 2
@@ -46,15 +49,42 @@ def fold_step_device(E: BinomialExtension, folded, beta_host):
     lo, hi = m[:, 0], m[:, 1]
     hip = _halve_inv_powers(F, log2_strict(h))
     even = F.halve(F.add(lo, hi))
-    odd = E.mul(F.sub(lo, hi), jnp.asarray(E.to_monty_np(beta_host)))
+    odd = E.mul(F.sub(lo, hi), beta_m)
     return F.add(even, E.base_mul(hip, odd))
+
+
+def fold_step_device(E: BinomialExtension, folded, beta_host):
+    """One arity-2 fold of a bit-reversed ext codeword (2h, D) -> (h, D)."""
+    return _fold_step_jit(E, folded, jnp.asarray(E.to_monty_np(beta_host)))
+
+
+def fold_step_np(E: BinomialExtension, folded, beta_host):
+    """Numpy fold step (exact host; for small heights, zero compiles)."""
+    F = E.base
+    from ..utils.bits import bitrev_indices
+
+    h2, D = folded.shape
+    h = h2 // 2
+    m = folded.reshape(h, 2, D)
+    lo, hi = m[:, 0], m[:, 1]
+    g_inv = F.inv_h(F.two_adic_generator_h(log2_strict(h) + 1))
+    from ..ops.ntt import powers_np
+
+    hip = powers_np(F, g_inv, h, scale_std=F.inv_h(2))
+    hip = hip[bitrev_indices(log2_strict(h))] if h > 1 else hip
+    even = F.halve_np(F.add_np(lo, hi))
+    odd = E.mul_np(F.sub_np(lo, hi), E.to_monty_np(beta_host))
+    return F.add_np(even, E.base_mul_np(hip, odd))
 
 
 def fold_matrix_device(E: BinomialExtension, folded, beta_host, log_arity):
     """Arity-2^k fold as k arity-2 steps with beta^(2^j)."""
     b = beta_host
+    is_np = isinstance(folded, np.ndarray)
     for _ in range(log_arity):
-        folded = fold_step_device(E, folded, b)
+        folded = (fold_step_np if is_np else fold_step_device)(
+            E, folded, b
+        )
         b = E.mul_h(b, b)
     return folded
 
@@ -67,7 +97,18 @@ def prove_fri(
     challenger,
     log_global_max_height: int,
     open_input_fn,  # (indices) -> list[BatchMultiOpening]
+    spans=None,
 ) -> FriProof:
+    import time as _time
+
+    _t = {"last": _time.perf_counter()}
+
+    def _mark(name):
+        if spans is not None:
+            now = _time.perf_counter()
+            spans[name] = spans.get(name, 0.0) + now - _t["last"]
+            _t["last"] = now
+
     F = E.base
     assert inputs and params.num_queries > 0 and params.max_log_arity > 0
     assert log_global_max_height == log2_strict(inputs[0].shape[0])
@@ -78,8 +119,14 @@ def prove_fri(
     commits, datas, log_arities, pow_witnesses = [], [], [], []
     log_final_height = params.log_blowup + params.log_final_poly_len
 
+    # below this height the round runs on host numpy (exact): the work is
+    # tiny and an XLA compile per fresh height would dominate wall-clock
+    LOG_H_DEVICE_MIN = 13
+
     while folded.shape[0] > params.blowup * params.final_poly_len:
         log_h = log2_strict(folded.shape[0])
+        if log_h < LOG_H_DEVICE_MIN and not isinstance(folded, np.ndarray):
+            folded = np.asarray(folded)
         next_log_h = log2_strict(rest[0].shape[0]) if rest else None
         log_arity = compute_log_arity_for_round(
             log_h, next_log_h, log_final_height, params.max_log_arity
@@ -91,7 +138,7 @@ def prove_fri(
         leaves = folded.reshape(-1, arity, E.D)
         data = fri_mmcs.commit_ext_matrix(leaves)
         commits.append(data.root_std)
-        challenger.observe_many(data.root_std)
+        challenger.observe_digest(data.root_std)
         pow_witnesses.append(challenger.grind(params.commit_proof_of_work_bits))
         beta = challenger.sample_ext(E.D)
 
@@ -103,10 +150,17 @@ def prove_fri(
             beta_pow = beta
             for _ in range(log_arity):
                 beta_pow = E.mul_h(beta_pow, beta_pow)
-            folded = F.add(
-                folded, E.mul(nxt, jnp.asarray(E.to_monty_np(beta_pow)))
-            )
+            if isinstance(folded, np.ndarray):
+                folded = F.add_np(
+                    folded,
+                    E.mul_np(np.asarray(nxt), E.to_monty_np(beta_pow)),
+                )
+            else:
+                folded = F.add(
+                    folded, E.mul(nxt, jnp.asarray(E.to_monty_np(beta_pow)))
+                )
 
+    _mark("fri: commit phase")
     # ---- final polynomial (prover.rs:271) ----
     L = params.final_poly_len
     final_evals = folded[:L]  # bitrev prefix = restriction to subgroup H_L
@@ -125,17 +179,20 @@ def prove_fri(
         challenger.observe(la)
 
     # query phase
+    _mark("fri: final poly")
     query_pow = challenger.grind(params.query_proof_of_work_bits)
     indices = [
         challenger.sample_bits(log_global_max_height)
         for _ in range(params.num_queries)
     ]
 
+    _mark("fri: grind+indices")
     input_openings = open_input_fn(indices)
     commit_phase_steps = _answer_queries(
         E, fri_mmcs, log_arities, datas, indices
     )
 
+    _mark("fri: query openings")
     return FriProof(
         commit_phase_commits=commits,
         commit_pow_witnesses=pow_witnesses,

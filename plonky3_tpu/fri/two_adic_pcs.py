@@ -23,7 +23,9 @@ verify (:683): observe all claimed evals in prover order, then verify_fri.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -38,6 +40,47 @@ from .config import FriParameters
 from .proof import BatchMultiOpening
 from .prover import prove_fri
 from .verifier import verify_fri
+
+
+# --- jitted hot kernels of open() (two_adic_pcs.rs:412-668). Fusing them
+# into single programs keeps the Monty-limb intermediates of (h, w)-sized
+# products in registers instead of materializing ~10 HBM-sized temporaries.
+@partial(jax.jit, static_argnames=("E",))
+def _inv_denom_kernel(E, zc, xs):
+    """1/(z - x) for all rows x of the bit-reversed coset."""
+    h = xs.shape[0]
+    diff = E.sub(jnp.broadcast_to(zc, (h, E.D)), E.from_base(xs))
+    return E.inv(diff)
+
+
+@partial(jax.jit, static_argnames=("E",))
+def _ys_kernel(E, mat, xs, inv_denom, factor_m):
+    """Barycentric column evals: factor · Σ_i x_i·inv_denom_i · M[i, :]."""
+    F = E.base
+    wx = E.base_mul(xs, inv_denom)  # (h, D)
+    comps = [
+        F.sum(F.mul(wx[:, d : d + 1], mat), axis=0) for d in range(E.D)
+    ]
+    return E.mul(jnp.stack(comps, axis=-1), factor_m)  # (w, D)
+
+
+@partial(jax.jit, static_argnames=("E",))
+def _mred_kernel(E, mat, ap_dev):
+    """Mred(x) = Σ_j alpha^j·M[x, j] — the rowwise_packed_dot_product
+    analog (two_adic_pcs.rs:624-627)."""
+    F = E.base
+    return jnp.stack(
+        [F.sum(F.mul(mat, ap_dev[None, :, d]), axis=1) for d in range(E.D)],
+        axis=-1,
+    )
+
+
+@partial(jax.jit, static_argnames=("E",))
+def _accum_kernel(E, acc, mred_z_m, mat_compressed, inv_denom, alpha_off_m):
+    """acc += alpha_off · (Mred(z) - Mred(x)) / (z - x)."""
+    h = mat_compressed.shape[0]
+    diff = E.sub(jnp.broadcast_to(mred_z_m, (h, E.D)), mat_compressed)
+    return E.add(acc, E.mul(E.mul(diff, inv_denom), alpha_off_m))
 
 
 @dataclass(frozen=True)
@@ -89,12 +132,23 @@ class TwoAdicFriPcs:
         return bitrev_permute_axis0(prefix, domain.log_n)
 
     # ------------------------------------------------------------------
-    def open(self, data_with_points, challenger: DuplexChallenger):
+    def open(self, data_with_points, challenger: DuplexChallenger,
+             spans=None):
         """data_with_points: [(MerkleProverData, [[z per matrix]])].
 
         Returns (opened_values, FriProof); opened_values[round][mat][point]
         is the list of per-column evals (ext tuples).
         """
+        import time as _time
+
+        _t = {"last": _time.perf_counter()}
+
+        def _mark(name):
+            if spans is not None:
+                now = _time.perf_counter()
+                spans[name] = spans.get(name, 0.0) + now - _t["last"]
+                _t["last"] = now
+
         F, E = self.F, self.E
         lb = self.fri.log_blowup
 
@@ -128,10 +182,7 @@ class TwoAdicFriPcs:
         inv_denoms = {}
         for z, h in max_h_for_point.items():
             zc = jnp.asarray(E.to_monty_np(z))
-            diff = E.sub(
-                jnp.broadcast_to(zc, (h, E.D)), E.from_base(xs_br[:h])
-            )
-            inv_denoms[z] = E.inv(diff)
+            inv_denoms[z] = _inv_denom_kernel(E, zc, xs_br[:h])
 
         # column evaluations ys by barycentric interpolation; observe
         opened_values = []
@@ -142,14 +193,6 @@ class TwoAdicFriPcs:
                 n_std = h  # coset size
                 mat_vals = []
                 for z in pts:
-                    idv = inv_denoms[z][:h]
-                    # w_i = x_i · inv_denom_i  (ext per row)
-                    wx = E.base_mul(xs_br[:h], idv)
-                    comps = [
-                        F.sum(F.mul(wx[:, d : d + 1], mat), axis=0)
-                        for d in range(E.D)
-                    ]
-                    ys_raw = jnp.stack(comps, axis=-1)  # (w, D)
                     # scale by (z^n - s^n)/(n·s^n), s = GENERATOR
                     s_pow_n = F.exp_h(F.GENERATOR, n_std)
                     zn = E.exp_h(z, n_std)
@@ -157,7 +200,10 @@ class TwoAdicFriPcs:
                         F.inv_h(F.mul_h(n_std, s_pow_n)),
                         E.sub_h(zn, E.from_base_h(s_pow_n)),
                     )
-                    ys_dev = E.mul(ys_raw, jnp.asarray(E.to_monty_np(factor)))
+                    ys_dev = _ys_kernel(
+                        E, mat, xs_br[:h], inv_denoms[z][:h],
+                        jnp.asarray(E.to_monty_np(factor)),
+                    )
                     ys_np = F.from_monty_np(np.asarray(ys_dev))
                     ys = [tuple(int(c) for c in row) for row in ys_np]
                     for y in ys:
@@ -166,6 +212,7 @@ class TwoAdicFriPcs:
                 round_vals.append(mat_vals)
             opened_values.append(round_vals)
 
+        _mark("open: barycentric ys + observe")
         alpha = challenger.sample_ext(E.D)
 
         # reduced openings per height bucket
@@ -177,15 +224,8 @@ class TwoAdicFriPcs:
                 log_h = log2_strict(h)
                 w = mat.shape[1]
                 alpha_pows = E.powers_np(alpha, w)  # (w, D) host-exact
-                ap_dev = jnp.asarray(alpha_pows)
-                # Mred(x) = sum_j alpha^j M[:, j]   (hot kernel; per-component
-                # (h,w) reductions keep temps 2-D for XLA fusion)
-                mat_compressed = jnp.stack(
-                    [
-                        F.sum(F.mul(mat, ap_dev[None, :, d]), axis=1)
-                        for d in range(E.D)
-                    ],
-                    axis=-1,
+                mat_compressed = _mred_kernel(
+                    E, mat, jnp.asarray(alpha_pows)
                 )  # (h, D)
                 for z, ys in zip(pts, mat_vals):
                     acc = reduced.setdefault(
@@ -199,19 +239,20 @@ class TwoAdicFriPcs:
                         mred_z = E.add_h(mred_z, E.mul_h(ap, y))
                         ap = E.mul_h(ap, alpha)
                     alpha_off = E.exp_h(alpha, nr)
-                    diff = E.sub(
-                        jnp.broadcast_to(
-                            jnp.asarray(E.to_monty_np(mred_z)), (h, E.D)
-                        ),
+                    reduced[log_h] = _accum_kernel(
+                        E, acc,
+                        jnp.asarray(E.to_monty_np(mred_z)),
                         mat_compressed,
+                        inv_denoms[z][:h],
+                        jnp.asarray(E.to_monty_np(alpha_off)),
                     )
-                    term = E.mul(diff, inv_denoms[z][:h])
-                    term = E.mul(term, jnp.asarray(E.to_monty_np(alpha_off)))
-                    reduced[log_h] = E.add(acc, term)
                     num_reduced[log_h] = nr + w
         fri_input = [
             reduced[lh] for lh in sorted(reduced.keys(), reverse=True)
         ]
+        import jax as _jax
+        _jax.block_until_ready(fri_input[0])
+        _mark("open: reduced accumulation")
 
         def open_input_fn(indices):
             openings = []
@@ -242,7 +283,9 @@ class TwoAdicFriPcs:
             challenger,
             log_global_max_height,
             open_input_fn,
+            spans=spans,
         )
+        _mark("open: fri")
         return opened_values, fri_proof
 
     # ------------------------------------------------------------------

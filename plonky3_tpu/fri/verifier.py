@@ -121,7 +121,7 @@ def verify_fri(
     for commit, witness in zip(
         proof.commit_phase_commits, proof.commit_pow_witnesses
     ):
-        challenger.observe_many(commit)
+        challenger.observe_digest(commit)
         if not challenger.check_witness(
             params.commit_proof_of_work_bits, witness
         ):

@@ -290,7 +290,11 @@ class Poseidon2:
 
         lax.scan over rounds keeps the HLO graph one-round-sized, so whole
         pipelines (LDE + full Merkle tree) stay jittable in one program.
+        Jitted (shape-keyed) so eager callers share compiles too.
         """
+        return _permute_device_jit(self, states)
+
+    def _permute_device_impl(self, states):
         import jax
 
         F = self.F
@@ -319,6 +323,61 @@ class Poseidon2:
         ops = HostOps(self.F)
         return list(self.permute(ops, list(state)))
 
+    # ------------------------------------------------------------------
+    # vectorized numpy kernel (host, exact, zero compiles) — for the
+    # small-height tails where an XLA compile costs more than the work
+    # ------------------------------------------------------------------
+    def _mds_light_np(self, x):
+        F, w = self.F, self.width
+        assert w % 4 == 0
+        b = x.reshape(x.shape[:-1] + (w // 4, 4))
+        x0, x1, x2, x3 = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+        t01 = F.add_np(x0, x1)
+        t23 = F.add_np(x2, x3)
+        t0123 = F.add_np(t01, t23)
+        t01123 = F.add_np(t0123, x1)
+        t01233 = F.add_np(t0123, x3)
+        st = np.stack(
+            [
+                F.add_np(t01123, t01),
+                F.add_np(t01123, F.double_np(x2)),
+                F.add_np(t01233, t23),
+                F.add_np(t01233, F.double_np(x0)),
+            ],
+            axis=-1,
+        )
+        tot = F.sum_np(st, axis=-2)
+        return F.add_np(st, tot[..., None, :]).reshape(x.shape)
+
+    def _sbox_np(self, x):
+        F = self.F
+        if self.d == 3:
+            return F.mul_np(F.square_np(x), x)
+        if self.d == 5:
+            x2 = F.square_np(x)
+            return F.mul_np(F.square_np(x2), x)
+        if self.d == 7:
+            x2 = F.square_np(x)
+            return F.mul_np(F.mul_np(F.square_np(x2), x2), x)
+        raise ValueError(f"unsupported s-box degree {self.d}")
+
+    def permute_np(self, states: np.ndarray) -> np.ndarray:
+        """Batched numpy permutation: states (..., width) uint32 Monty."""
+        F = self.F
+        c = self._device_consts()  # already host np arrays
+        diag = c["diag"]
+        x = self._mds_light_np(np.asarray(states))
+        for rc in c["rc_ei"]:
+            x = self._mds_light_np(self._sbox_np(F.add_np(x, rc)))
+        for rc in c["rc_int"]:
+            s0 = self._sbox_np(F.add_np(x[..., 0], rc))
+            x = np.concatenate([s0[..., None], x[..., 1:]], axis=-1)
+            total = F.sum_np(x, axis=-1)
+            x = F.add_np(total[..., None], F.mul_np(x, diag))
+        for rc in c["rc_ef"]:
+            x = self._mds_light_np(self._sbox_np(F.add_np(x, rc)))
+        return x
+
 
 def _build(F, width, prefix, consts):
     return Poseidon2(
@@ -342,3 +401,13 @@ def default_poseidon2(F: Monty31, width: int) -> Poseidon2:
 
     prefix = F.name.upper()
     return _build(F, width, prefix, consts)
+
+
+import functools as _functools
+
+import jax as _jax
+
+
+@_functools.partial(_jax.jit, static_argnums=0)
+def _permute_device_jit(perm: Poseidon2, states):
+    return perm._permute_device_impl(states)

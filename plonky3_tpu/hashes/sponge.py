@@ -28,6 +28,10 @@ class PaddingFreeSponge:
     rate: int
     out: int
 
+    # digests are field elements (Monty u32 lanes); the MMCS converts to
+    # standard form at host boundaries. Keccak digests set False.
+    digest_is_field = True
+
     def hash_rows_device(self, mats):
         """Hash each row of the horizontal concat of `mats` -> (h, out).
 
@@ -35,6 +39,8 @@ class PaddingFreeSponge:
         absorption: each rate-block of row elements overwrites the first
         lanes, then one batched array permutation (sponge.rs:157).
         """
+        import jax
+
         h = mats[0].shape[0]
         width = self.perm.width
         flat = jnp.concatenate(
@@ -42,11 +48,41 @@ class PaddingFreeSponge:
         )  # (h, total_w)
         total = flat.shape[1]
         state = jnp.zeros((h, width), jnp.uint32)
+        nfull = total // self.rate
+        if nfull:
+            # ONE scan over rate-blocks: the absorb loop costs a single
+            # traced/compiled permutation body regardless of row width
+            blocks = (
+                flat[:, : nfull * self.rate]
+                .reshape(h, nfull, self.rate)
+                .transpose(1, 0, 2)
+            )
+
+            def absorb(st, blk):
+                st = jnp.concatenate([blk, st[:, self.rate :]], axis=1)
+                return self.perm.permute_device(st), None
+
+            state, _ = jax.lax.scan(absorb, state, blocks)
+        rem = total - nfull * self.rate
+        if rem:
+            block = flat[:, nfull * self.rate :]
+            state = jnp.concatenate([block, state[:, rem:]], axis=1)
+            state = self.perm.permute_device(state)
+        return state[:, : self.out]
+
+    def hash_rows_np(self, mats):
+        """Numpy variant of hash_rows_device (host, exact, no compiles)."""
+        h = mats[0].shape[0]
+        width = self.perm.width
+        flat = np.concatenate([np.asarray(m).reshape(h, -1) for m in mats],
+                              axis=1)
+        total = flat.shape[1]
+        state = np.zeros((h, width), np.uint32)
         for start in range(0, total, self.rate):
             block = flat[:, start : start + self.rate]
             k = block.shape[1]
-            state = jnp.concatenate([block, state[:, k:]], axis=1)
-            state = self.perm.permute_device(state)
+            state = np.concatenate([block, state[:, k:]], axis=1)
+            state = self.perm.permute_np(state)
         return state[:, : self.out]
 
     def hash_iter_host(self, elems):
@@ -85,6 +121,14 @@ class TruncatedPermutation:
         state = jnp.concatenate([left, right, pad], axis=1)
         state = self.perm.permute_device(state)
         return state[:, : self.chunk]
+
+    def compress_np(self, left, right):
+        """Numpy variant of compress_device."""
+        h = left.shape[0]
+        width = self.perm.width
+        pad = np.zeros((h, width - 2 * self.chunk), np.uint32)
+        state = np.concatenate([left, right, pad], axis=1)
+        return self.perm.permute_np(state)[:, : self.chunk]
 
     def compress_host(self, left, right):
         state = list(left) + list(right)

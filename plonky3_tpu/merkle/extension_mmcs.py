@@ -19,10 +19,18 @@ class ExtensionMmcs:
     D: int
 
     def commit_ext_matrix(self, mat) -> MerkleProverData:
-        """mat: (h, w, D) device uint32 -> commit flattened (h, w·D)."""
+        """mat: (h, w, D) device uint32 -> commit flattened (h, w·D).
+
+        jit_tree=False: FRI commits one matrix per round at a fresh height
+        each time; the eager ladder shares the shape-cached permutation
+        compiles across rounds instead of compiling a tree program per
+        height."""
+        import numpy as _np
+
         h, w, d = mat.shape
         assert d == self.D
-        return self.inner.commit([mat.reshape(h, w * d)])
+        mode = "np" if isinstance(mat, _np.ndarray) else False
+        return self.inner.commit([mat.reshape(h, w * d)], jit_tree=mode)
 
     def open_batch(self, data: MerkleProverData, index: int):
         rows, proof = self.inner.open_batch(data, index)

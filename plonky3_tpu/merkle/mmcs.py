@@ -34,14 +34,73 @@ class MerkleProverData:
     matrices: list  # committed device matrices (rows in committed order)
     layers: list  # device digest layers, layers[0] = leaves (h, 8)
     root_std: tuple  # digest as standard-form ints (host)
+    digest_is_field: bool = True
     _layers_np: list = None  # lazily pulled host copies for fast openings
 
     def host_layers(self, F):
         if self._layers_np is None:
-            self._layers_np = [
-                F.from_monty_np(np.asarray(l)) for l in self.layers
-            ]
+            conv = F.from_monty_np if self.digest_is_field else np.asarray
+            self._layers_np = [conv(np.asarray(l)) for l in self.layers]
         return self._layers_np
+
+
+from functools import partial
+
+import jax
+
+
+def _build_layers(mmcs, mats):
+    """Device tree build: leaf sponge + compress ladder with mixed-height
+    injection (merkle_tree.rs:95,141-170)."""
+    heights = [m.shape[0] for m in mats]
+    order = sorted(range(len(mats)), key=lambda i: -heights[i])
+    max_h = max(heights)
+
+    def take(h):
+        return [mats[i] for i in order if heights[i] == h]
+
+    layer = mmcs.sponge.hash_rows_device(take(max_h))  # (max_h, out)
+    layers = [layer]
+    h = max_h
+    while h > 1:
+        h //= 2
+        pairs = layers[-1].reshape(h, 2, -1)
+        layer = mmcs.compressor.compress_device(pairs[:, 0], pairs[:, 1])
+        inject = take(h)
+        if inject:
+            tips = mmcs.sponge.hash_rows_device(inject)
+            layer = mmcs.compressor.compress_device(layer, tips)
+        layers.append(layer)
+    return layers
+
+
+_build_layers_jit = partial(jax.jit, static_argnums=0)(_build_layers)
+
+
+def _build_layers_np(mmcs, mats):
+    """Exact numpy tree build (host) — for small commits where a device
+    compile would dominate (late FRI rounds)."""
+    mats = [np.asarray(m) for m in mats]
+    heights = [m.shape[0] for m in mats]
+    order = sorted(range(len(mats)), key=lambda i: -heights[i])
+    max_h = max(heights)
+
+    def take(h):
+        return [mats[i] for i in order if heights[i] == h]
+
+    layer = mmcs.sponge.hash_rows_np(take(max_h))
+    layers = [layer]
+    h = max_h
+    while h > 1:
+        h //= 2
+        pairs = layers[-1].reshape(h, 2, -1)
+        layer = mmcs.compressor.compress_np(pairs[:, 0], pairs[:, 1])
+        inject = take(h)
+        if inject:
+            tips = mmcs.sponge.hash_rows_np(inject)
+            layer = mmcs.compressor.compress_np(layer, tips)
+        layers.append(layer)
+    return layers
 
 
 @dataclass(frozen=True)
@@ -51,44 +110,41 @@ class MerkleTreeMmcs:
 
     @property
     def F(self):
-        return self.sponge.perm.F
+        if self.sponge.perm is not None:
+            return self.sponge.perm.F
+        return self.sponge.F  # keccak-style sponges carry F directly
 
-    def commit(self, mats) -> MerkleProverData:
+    def commit(self, mats, jit_tree: bool = True) -> MerkleProverData:
         """Commit to matrices (device uint32, rows already in final order).
 
         Heights must be powers of two. Matrices of the same height are
         hashed together (rows concatenated, in input order); shorter
         matrices are injected when the compression ladder reaches their
         height (merkle_tree.rs:141-170 semantics).
+
+        jit_tree=False runs the ladder eagerly so each level reuses the
+        shape-cached jitted permutation — right for the many small
+        distinct-height FRI round commits (whole-tree programs would
+        recompile per height).
         """
         F = self.F
         mats = list(mats)
-        heights = [m.shape[0] for m in mats]
-        for h in heights:
-            log2_strict(h)
-        order = sorted(range(len(mats)), key=lambda i: -heights[i])
-        max_h = max(heights)
-
-        def take(h):
-            return [mats[i] for i in order if heights[i] == h]
-
-        layer = self.sponge.hash_rows_device(take(max_h))  # (max_h, 8)
-        layers = [layer]
-        h = max_h
-        while h > 1:
-            h //= 2
-            pairs = layers[-1].reshape(h, 2, -1)
-            layer = self.compressor.compress_device(
-                pairs[:, 0], pairs[:, 1]
-            )
-            inject = take(h)
-            if inject:
-                tips = self.sponge.hash_rows_device(inject)
-                layer = self.compressor.compress_device(layer, tips)
-            layers.append(layer)
+        for m in mats:
+            log2_strict(m.shape[0])
+        if jit_tree == "np":
+            layers = _build_layers_np(self, mats)
+        else:
+            build = _build_layers_jit if jit_tree else _build_layers
+            layers = build(self, mats)
         root_m = np.asarray(layers[-1][0])
-        root_std = tuple(int(x) for x in F.from_monty_np(root_m))
-        return MerkleProverData(matrices=mats, layers=layers, root_std=root_std)
+        dif = getattr(self.sponge, "digest_is_field", True)
+        root_std = tuple(
+            int(x) for x in (F.from_monty_np(root_m) if dif else root_m)
+        )
+        return MerkleProverData(
+            matrices=mats, layers=layers, root_std=root_std,
+            digest_is_field=dif,
+        )
 
     # ------------------------------------------------------------------
     def open_batch(self, data: MerkleProverData, index: int):

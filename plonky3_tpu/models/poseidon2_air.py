@@ -161,6 +161,116 @@ class Poseidon2VectorAir(BaseAir):
                         state[w] = post
 
 
+    # ------------------------------------------------------------------
+    # specialized prover path: constraint eval + alpha fold as 3 scans
+    # ------------------------------------------------------------------
+    def fold_constraints_device(self, F, E, local, nxt, sels, publics_m,
+                                alpha_pows):
+        """(Nq, width) row window -> (Nq, D) alpha-folded constraints.
+
+        Replaces the generic per-Sym builder trace (~10^4 graph nodes) with
+        one lax.scan per round section — same constraint values and the
+        SAME alpha-power assignment as the generic `eval` emission order
+        (regs then posts, w-major, V-minor), so prover and verifier agree.
+        """
+        perm = self.perm
+        V, W, C, PR, REG = self.V, self.W, self.cols_per_perm, self.PR, self.REG
+        Nq = local.shape[0]
+        D = E.D
+        c = perm._device_consts()
+        diag = jnp.asarray(c["diag"])
+
+        x = local.reshape(Nq, V, C)
+        B = W * REG + W
+        inputs = x[:, :, :W]
+        ei = x[:, :, W:W + 4 * B].reshape(Nq, V, 4, B).transpose(2, 0, 1, 3)
+        p0 = W + 4 * B
+        pr = x[:, :, p0:p0 + PR * (REG + 1)].reshape(
+            Nq, V, PR, REG + 1).transpose(2, 0, 1, 3)
+        ef = x[:, :, p0 + PR * (REG + 1):].reshape(
+            Nq, V, 4, B).transpose(2, 0, 1, 3)
+
+        per_full = V * W * (REG + 1)  # constraints per full round
+        per_part = V * (REG + 1)
+        k_ei = 4 * per_full
+        k_pr = PR * per_part
+        a_ei = alpha_pows[:k_ei].reshape(4, per_full, D)
+        a_pr = alpha_pows[k_ei:k_ei + k_pr].reshape(PR, per_part, D)
+        a_ef = alpha_pows[k_ei + k_pr:].reshape(4, per_full, D)
+
+        def fold(acc, cons, a):
+            """cons (Nq, K) in emission order; a (K, D)."""
+            return [
+                F.add(acc[d], F.sum(F.mul(cons, a[None, :, d]), axis=1))
+                for d in range(D)
+            ]
+
+        def sbox_cons(s, regs):
+            """S-box on (..., lanes): returns (value, constraint, ok_reg).
+
+            regs: committed x^3 columns (or None when REG=0)."""
+            s3 = F.mul(F.square(s), s)
+            if REG == 0:
+                return s3, None
+            if self.d == 5:
+                s2 = F.square(s)
+                return F.mul(regs, s2), F.sub(regs, F.mul(s2, s))
+            return F.mul(F.square(regs), s), F.sub(regs, s3)  # d == 7
+
+        def full_body(carry, xs):
+            state, acc = carry
+            rc, block, a = xs  # rc (W,), block (Nq,V,B), a (per_full,D)
+            regs = block[..., :W * REG].reshape(
+                (Nq, V, W, REG))[..., 0] if REG else None
+            post = block[..., W * REG:]
+            s = F.add(state, rc)
+            val, reg_cons = sbox_cons(s, regs)
+            sm = perm._mds_light_arr(val)
+            post_cons = F.sub(sm, post)
+            # emission order: [regs w-major (if REG)] then [posts w-major],
+            # each (w, v) pair a V-block => flatten as (w, v) row-major
+            pieces = []
+            if REG:
+                pieces.append(reg_cons.transpose(0, 2, 1).reshape(Nq, -1))
+            pieces.append(post_cons.transpose(0, 2, 1).reshape(Nq, -1))
+            cons = jnp.concatenate(pieces, axis=1)
+            acc = fold(acc, cons, a)
+            return (post, acc), None
+
+        def partial_body(carry, xs):
+            state, acc = carry
+            rc, block, a = xs  # block (Nq,V,REG+1)
+            regs = block[..., 0] if REG else None
+            post = block[..., REG]
+            s = F.add(state[..., 0], rc)
+            val, reg_cons = sbox_cons(s, regs)
+            post_cons = F.sub(val, post)
+            pieces = ([reg_cons.reshape(Nq, -1)] if REG else []) + [
+                post_cons.reshape(Nq, -1)
+            ]
+            cons = jnp.concatenate(pieces, axis=1)
+            acc = fold(acc, cons, a)
+            state = jnp.concatenate(
+                [post[..., None], state[..., 1:]], axis=-1
+            )
+            total = F.sum(state, axis=-1)
+            state = F.add(total[..., None], F.mul(state, diag))
+            return (state, acc), None
+
+        acc0 = [jnp.zeros((Nq,), jnp.uint32) for _ in range(D)]
+        state = perm._mds_light_arr(inputs)
+        (state, acc), _ = jax.lax.scan(
+            full_body, (state, acc0), (jnp.asarray(c["rc_ei"]), ei, a_ei)
+        )
+        (state, acc), _ = jax.lax.scan(
+            partial_body, (state, acc), (jnp.asarray(c["rc_int"]), pr, a_pr)
+        )
+        (state, acc), _ = jax.lax.scan(
+            full_body, (state, acc), (jnp.asarray(c["rc_ef"]), ef, a_ef)
+        )
+        return jnp.stack(acc, axis=-1)  # (Nq, D)
+
+
 def generate_vectorized_trace(air: Poseidon2VectorAir, inputs):
     """Device trace gen: inputs (n_perms, W) uint32 Monty -> (rows, width).
 

@@ -24,6 +24,9 @@ Re-design of the reference's DFT layer (`dft/src/traits.rs:28`,
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -36,20 +39,23 @@ _TWIDDLE_CACHE: dict = {}
 _POWER_CACHE: dict = {}
 
 
-def powers_device(F: Monty31, base_std: int, n: int, scale_std: int = 1):
-    """[s, s·b, s·b^2, ..., s·b^(n-1)] on device via log-doubling.
+def powers_np(F: Monty31, base_std: int, n: int, scale_std: int = 1):
+    """[s, s·b, ..., s·b^(n-1)] as HOST uint32 Monty array (log-doubling;
+    exact uint64 modmul — products of 31-bit values fit in 64 bits)."""
+    P = np.uint64(F.P)
+    # work in standard form: modmul is a single uint64 expression
+    p_std = np.array([scale_std % F.P], dtype=np.uint64)
+    cur_std = np.uint64(base_std % F.P)
+    while p_std.shape[0] < n:
+        p_std = np.concatenate([p_std, (p_std * cur_std) % P])
+        cur_std = (cur_std * cur_std) % P
+    return F.to_monty_np(p_std[:n].astype(np.uint32))
 
-    O(log n) kernels of elementwise muls; `base^L` factors are host ints so
-    nothing sequential runs on device (contrast `field/src/field.rs:1339`
-    Powers iterator, which is inherently serial on CPU).
-    """
-    p = jnp.full((1,), np.uint32(F.to_monty_h(scale_std % F.P)), jnp.uint32)
-    cur = base_std % F.P
-    while p.shape[0] < n:
-        fac = F.const(cur)
-        p = jnp.concatenate([p, F.mul(p, fac)])
-        cur = (cur * cur) % F.P
-    return p[:n]
+
+def powers_device(F: Monty31, base_std: int, n: int, scale_std: int = 1):
+    """Device constant of `powers_np` (safe to call under jit: values are
+    computed host-side, so nothing traced ever reaches the caches)."""
+    return jnp.asarray(powers_np(F, base_std, n, scale_std))
 
 
 def _twiddles(F: Monty31, log_n: int, inverse: bool):
@@ -59,18 +65,18 @@ def _twiddles(F: Monty31, log_n: int, inverse: bool):
         g = F.two_adic_generator_h(log_n)
         if inverse:
             g = F.inv_h(g)
-        tw = powers_device(F, g, max(1 << (log_n - 1), 1))
+        tw = powers_np(F, g, max(1 << (log_n - 1), 1))
         _TWIDDLE_CACHE[key] = tw
-    return tw
+    return jnp.asarray(tw)
 
 
 def _shift_powers(F: Monty31, log_n: int, shift_std: int, scale_std: int):
     key = (F.name, log_n, shift_std, scale_std)
     p = _POWER_CACHE.get(key)
     if p is None:
-        p = powers_device(F, shift_std, 1 << log_n, scale_std)
+        p = powers_np(F, shift_std, 1 << log_n, scale_std)
         _POWER_CACHE[key] = p
-    return p
+    return jnp.asarray(p)
 
 
 def _dif(F: Monty31, x, log_n: int, inverse: bool):
@@ -116,6 +122,10 @@ def idft(F: Monty31, mat):
     return F.mul(out, inv_n)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("F", "added_bits", "shift_std", "out_order"),
+)
 def coset_lde_batch(
     F: Monty31, mat, added_bits: int, shift_std: int, out_order: str = "bitrev"
 ):

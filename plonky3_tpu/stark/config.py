@@ -16,6 +16,7 @@ from ..merkle.mmcs import MerkleTreeMmcs
 @dataclass(frozen=True)
 class StarkConfig:
     pcs: TwoAdicFriPcs
+    challenger_kind: str = "duplex"  # "duplex" | "keccak"
 
     @property
     def F(self):
@@ -25,7 +26,11 @@ class StarkConfig:
     def E(self):
         return self.pcs.E
 
-    def initialise_challenger(self) -> DuplexChallenger:
+    def initialise_challenger(self):
+        if self.challenger_kind == "keccak":
+            from ..challenger.serializing import SerializingChallenger32
+
+            return SerializingChallenger32(self.F)
         return DuplexChallenger(default_poseidon2(self.F, 24), rate=16)
 
 
@@ -42,3 +47,20 @@ def poseidon2_stark_config(F, E, fri_params: FriParameters) -> StarkConfig:
         fri_mmcs=ExtensionMmcs(inner=mmcs, D=E.D),
     )
     return StarkConfig(pcs=pcs)
+
+
+def keccak_stark_config(F, E, fri_params: FriParameters) -> StarkConfig:
+    """The KeccakF merkle/challenger config of the reference benchmarks
+    (examples/src/types.rs:19-42: keccak sponge 25/17/4 over u64 lanes,
+    SerializingChallenger32 over Keccak256) — the BASELINE.md canonical
+    `--merkle-hash keccak-f` configuration."""
+    from ..hashes.keccak_sponge import KeccakCompressor, KeccakFieldSponge
+
+    mmcs = MerkleTreeMmcs(
+        sponge=KeccakFieldSponge(F), compressor=KeccakCompressor()
+    )
+    pcs = TwoAdicFriPcs(
+        F=F, E=E, fri=fri_params, mmcs=mmcs,
+        fri_mmcs=ExtensionMmcs(inner=mmcs, D=E.D),
+    )
+    return StarkConfig(pcs=pcs, challenger_kind="keccak")

@@ -12,6 +12,9 @@ Transcript order (prover.rs:159-173,216,255,299):
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -27,42 +30,53 @@ from .config import StarkConfig
 from .proof import Commitments, OpenedValues, Proof
 
 
+@partial(
+    jax.jit,
+    static_argnames=("config", "air", "trace_domain", "quotient_domain"),
+)
 def quotient_values(
     config: StarkConfig,
     air: BaseAir,
-    public_values,
     trace_domain,
     quotient_domain,
     trace_on_quotient_domain,  # (Nq, w) device, natural order
-    alpha_host,
+    publics_m,  # (n_publics,) device uint32 Monty
+    alpha_pows,  # (K, D) device uint32 Monty, descending powers
 ):
     """Evaluate C(T(x), T(hx), sels(x))/Z_H(x) over the whole quotient
-    domain in one vectorized pass (prover.rs:399-555; the packing width is
-    the entire domain)."""
+    domain in ONE jitted program (prover.rs:399-555; the packing width is
+    the entire domain — constraint eval, alpha fold, selectors and the
+    inv-vanishing scale all fuse)."""
     F, E = config.F, config.E
     Nq = quotient_domain.size
     sels = trace_domain.selectors_on_coset_device(quotient_domain)
     next_step = Nq // trace_domain.size
 
-    num_constraints, _ = get_symbolic_layout(air)
-    backend = ProverBackend(F, E, alpha_host, num_constraints)
-
     local = trace_on_quotient_domain
     nxt = jnp.roll(trace_on_quotient_domain, -next_step, axis=0)
 
-    def entry(kind, j):
-        if kind == "local":
-            return local[:, j]
-        if kind == "next":
-            return nxt[:, j]
-        return sels[kind]
+    if hasattr(air, "fold_constraints_device"):
+        # AIR-provided array/scaned fold (same alpha assignment as the
+        # generic emission order — see the AIR's docstring)
+        folded = air.fold_constraints_device(
+            F, E, local, nxt, sels, publics_m, alpha_pows
+        )
+    else:
+        backend = ProverBackend(F, E, alpha_pows)
 
-    builder = _make_builder(
-        backend, air.width, air.num_public_values, entry,
-        lambda j: F.const(public_values[j]),
-    )
-    air.eval(builder)
-    folded = backend.finalize((Nq,))  # (Nq, D)
+        def entry(kind, j):
+            if kind == "local":
+                return local[:, j]
+            if kind == "next":
+                return nxt[:, j]
+            return sels[kind]
+
+        builder = _make_builder(
+            backend, air.width, air.num_public_values, entry,
+            lambda j: publics_m[j],
+        )
+        air.eval(builder)
+        folded = backend.finalize((Nq,))  # (Nq, D)
     return E.base_mul(sels["inv_vanishing"], folded)
 
 
@@ -71,7 +85,18 @@ def prove(
     air: BaseAir,
     trace,  # (n, width) device uint32 Monty, natural row order
     public_values,  # list[int] standard form
+    spans=None,  # optional dict collecting per-phase wall-clock seconds
 ) -> Proof:
+    import time as _time
+
+    _t = {"last": _time.perf_counter()}
+
+    def _mark(name):
+        if spans is not None:
+            now = _time.perf_counter()
+            spans[name] = spans.get(name, 0.0) + now - _t["last"]
+            _t["last"] = now
+
     F, E, pcs = config.F, config.E, config.pcs
     n = trace.shape[0]
     log_n = log2_strict(n)
@@ -81,12 +106,14 @@ def prove(
 
     trace_domain = pcs.natural_domain_for_degree(n)
     trace_data = pcs.commit([(trace_domain, trace)])
+    jax.block_until_ready(trace_data.layers[-1])
+    _mark("commit trace")
 
     ch = config.initialise_challenger()
     ch.observe(log_n)  # log_ext_degree (== log_n without ZK)
     ch.observe(log_n)
     ch.observe(0)  # preprocessed width
-    ch.observe_many(trace_data.root_std)
+    ch.observe_digest(trace_data.root_std)
     ch.observe_many(public_values)
 
     alpha = ch.sample_ext(E.D)
@@ -97,10 +124,17 @@ def prove(
     trace_on_qd = pcs.get_evaluations_on_domain(
         trace_data, 0, quotient_domain
     )
+    num_constraints, _ = get_symbolic_layout(air)
+    alpha_pows = E.powers_np(alpha, num_constraints)[::-1].copy()
+    publics_m = jnp.asarray(
+        F.to_monty_np(np.asarray(public_values, dtype=np.uint32))
+    ) if public_values else jnp.zeros((0,), jnp.uint32)
     q_vals = quotient_values(
-        config, air, public_values, trace_domain, quotient_domain,
-        trace_on_qd, alpha,
+        config, air, trace_domain, quotient_domain,
+        trace_on_qd, publics_m, jnp.asarray(alpha_pows),
     )  # (Nq, D)
+    jax.block_until_ready(q_vals)
+    _mark("quotient eval")
 
     # flatten ext -> base columns, split into chunks, commit
     # (prover.rs:235-255, univariate.rs:98 commit_quotient)
@@ -108,7 +142,9 @@ def prove(
     sub_evals = quotient_domain.split_evals(num_chunks, q_flat)
     sub_domains = quotient_domain.split_domains(num_chunks)
     quotient_data = pcs.commit(list(zip(sub_domains, sub_evals)))
-    ch.observe_many(quotient_data.root_std)
+    jax.block_until_ready(quotient_data.layers[-1])
+    _mark("commit quotient")
+    ch.observe_digest(quotient_data.root_std)
 
     zeta = ch.sample_ext(E.D)
     zeta_next = trace_domain.next_point_ext(E, zeta)
@@ -119,7 +155,9 @@ def prove(
             (quotient_data, [[zeta]] * num_chunks),
         ],
         ch,
+        spans=spans,
     )
+    _mark("open (pcs + fri)")
     return Proof(
         commitments=Commitments(
             trace=trace_data.root_std,

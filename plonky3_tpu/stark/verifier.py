@@ -53,10 +53,10 @@ def verify(
     ch.observe(log_n)
     ch.observe(log_n)
     ch.observe(0)
-    ch.observe_many(proof.commitments.trace)
+    ch.observe_digest(proof.commitments.trace)
     ch.observe_many(public_values)
     alpha = ch.sample_ext(E.D)
-    ch.observe_many(proof.commitments.quotient_chunks)
+    ch.observe_digest(proof.commitments.quotient_chunks)
     zeta = ch.sample_ext(E.D)
     zeta_next = trace_domain.next_point_ext(E, zeta)
 

@@ -76,6 +76,37 @@ def test_tampered_trace_fails(air, trace_and_outputs):
     assert check_constraints(air, trace_std, []) != []
 
 
+def test_specialized_fold_matches_generic(air, trace_and_outputs):
+    """fold_constraints_device must be bit-identical to the generic
+    ProverBackend emission (same constraints, same alpha assignment)."""
+    import jax.numpy as jnp
+
+    from plonky3_tpu.air.api import _make_builder
+    from plonky3_tpu.air.builder import ProverBackend
+    from plonky3_tpu.fields import KoalaBearExt4 as E
+
+    trace, _, _ = trace_and_outputs
+    rng = np.random.default_rng(11)
+    local = jnp.asarray(F.rand_np(rng, trace.shape))
+    n_cons, _ = get_symbolic_layout(air)
+    alpha = tuple(int(x) for x in rng.integers(0, F.P, 4))
+    alpha_pows = jnp.asarray(E.powers_np(alpha, n_cons)[::-1].copy())
+
+    backend = ProverBackend(F, E, alpha_pows)
+    builder = _make_builder(
+        backend, air.width, 0,
+        lambda kind, j: local[:, j] if kind == "local" else local[:, j],
+        lambda j: None,
+    )
+    air.eval(builder)
+    generic = np.asarray(backend.finalize((trace.shape[0],)))
+
+    special = np.asarray(
+        air.fold_constraints_device(F, E, local, local, {}, None, alpha_pows)
+    )
+    np.testing.assert_array_equal(special, generic)
+
+
 def test_prove_verify_roundtrip(air, trace_and_outputs):
     import jax.numpy as jnp
 
