@@ -98,10 +98,8 @@ class SerializingChallenger32:
         start = 0
         while start < self.F.P:
             n = min(batch, self.F.P - start)
-            cands = np.arange(start, start + n, dtype=np.uint64)
-            cands_m = ((cands << np.uint64(32)) % np.uint64(self.F.P)).astype(
-                np.uint32
-            )
+            cands = np.arange(start, start + n, dtype=np.uint32)
+            cands_m = self.F.to_monty_np(cands)  # wire form (identity for M31)
             digests = keccak256_np_batch(prefix, cands_m)
             # sample_bits value: bytes popped from the END of the digest
             v = (

@@ -89,6 +89,19 @@ def fold_matrix_device(E: BinomialExtension, folded, beta_host, log_arity):
     return folded
 
 
+class TwoAdicFriFolding:
+    """Default folding strategy (fri/src/two_adic_pcs.rs fold_matrix):
+    arity-2^k folds of bit-reversed codewords over two-adic cosets."""
+
+    extra_query_index_bits = 0
+
+    def __init__(self, E):
+        self.E = E
+
+    def fold_matrix(self, folded, beta, log_arity):
+        return fold_matrix_device(self.E, folded, beta, log_arity)
+
+
 def prove_fri(
     E: BinomialExtension,
     params: FriParameters,
@@ -98,6 +111,7 @@ def prove_fri(
     log_global_max_height: int,
     open_input_fn,  # (indices) -> list[BatchMultiOpening]
     spans=None,
+    folding=None,  # FriFoldingStrategy analog; default two-adic
 ) -> FriProof:
     import time as _time
 
@@ -110,6 +124,8 @@ def prove_fri(
             _t["last"] = now
 
     F = E.base
+    if folding is None:
+        folding = TwoAdicFriFolding(E)
     assert inputs and params.num_queries > 0 and params.max_log_arity > 0
     assert log_global_max_height == log2_strict(inputs[0].shape[0])
 
@@ -142,7 +158,7 @@ def prove_fri(
         pow_witnesses.append(challenger.grind(params.commit_proof_of_work_bits))
         beta = challenger.sample_ext(E.D)
 
-        folded = fold_matrix_device(E, folded, beta, log_arity)
+        folded = folding.fold_matrix(folded, beta, log_arity)
         datas.append(data)
 
         if rest and rest[0].shape[0] == folded.shape[0]:
@@ -181,15 +197,16 @@ def prove_fri(
     # query phase
     _mark("fri: final poly")
     query_pow = challenger.grind(params.query_proof_of_work_bits)
+    extra = folding.extra_query_index_bits
     indices = [
-        challenger.sample_bits(log_global_max_height)
+        challenger.sample_bits(log_global_max_height + extra)
         for _ in range(params.num_queries)
     ]
 
     _mark("fri: grind+indices")
     input_openings = open_input_fn(indices)
     commit_phase_steps = _answer_queries(
-        E, fri_mmcs, log_arities, datas, indices
+        E, fri_mmcs, log_arities, datas, [i >> extra for i in indices]
     )
 
     _mark("fri: query openings")

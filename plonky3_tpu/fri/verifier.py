@@ -69,6 +69,15 @@ def fold_row_host(E, index, log_height, log_arity, beta, evals):
     return _lagrange_interpolate_at(E, xs, evals, beta)
 
 
+class TwoAdicRowFolding:
+    """Verifier-side default folding (two_adic_pcs.rs fold_row)."""
+
+    extra_query_index_bits = 0
+
+    def fold_row(self, E, index, log_folded, log_arity, beta, group):
+        return fold_row_host(E, index, log_folded, log_arity, beta, group)
+
+
 def verify_fri(
     E,
     params: FriParameters,
@@ -79,12 +88,19 @@ def verify_fri(
     commitments_with_opening_points,
     input_mmcs,
     fri_mmcs,
+    folding=None,  # verifier folding strategy; default two-adic
+    open_inputs_fn=None,  # (indices) -> per-query [(log_h, ext)] lists
+    alpha=None,  # pre-sampled batching challenge (circle); None = sample
+    check_global_height=True,
 ):
     F = E.base
+    if folding is None:
+        folding = TwoAdicRowFolding()
     if params.num_queries == 0:
         raise FriError("ZeroQueries")
 
-    alpha = challenger.sample_ext(E.D)
+    if alpha is None:
+        alpha = challenger.sample_ext(E.D)
 
     rounds = len(proof.commit_phase_commits)
     if len(proof.commit_phase_steps) != rounds:
@@ -104,14 +120,20 @@ def verify_fri(
     log_global_max_height = (
         total_log_reduction + params.log_blowup + params.log_final_poly_len
     )
-    if log_global_max_height > F.TWO_ADICITY:
+    if check_global_height and log_global_max_height > F.TWO_ADICITY:
+        # (two-adic only: the circle group's height bound is checked by
+        # CirclePcs.verify against CIRCLE_TWO_ADICITY instead)
         raise FriError("GlobalMaxHeightTooLarge")
     committed_heights = [
         dom.log_n + params.log_blowup
-        for (_, mats) in commitments_with_opening_points
+        for (_, mats) in (commitments_with_opening_points or [])
         for (dom, _) in mats
     ]
-    if committed_heights and max(committed_heights) != log_global_max_height:
+    if (
+        check_global_height
+        and committed_heights
+        and max(committed_heights) != log_global_max_height
+    ):
         raise FriError("GlobalMaxHeightMismatch")
 
     if len(proof.commit_pow_witnesses) != rounds:
@@ -141,21 +163,25 @@ def verify_fri(
 
     log_final_height = params.log_blowup + params.log_final_poly_len
 
+    extra = folding.extra_query_index_bits
     indices = [
-        challenger.sample_bits(log_global_max_height)
+        challenger.sample_bits(log_global_max_height + extra)
         for _ in range(params.num_queries)
     ]
 
-    reduced_openings = _open_inputs(
-        E,
-        params,
-        log_global_max_height,
-        indices,
-        proof.input_openings,
-        alpha,
-        input_mmcs,
-        commitments_with_opening_points,
-    )
+    if open_inputs_fn is not None:
+        reduced_openings = open_inputs_fn(indices)
+    else:
+        reduced_openings = _open_inputs(
+            E,
+            params,
+            log_global_max_height,
+            indices,
+            proof.input_openings,
+            alpha,
+            input_mmcs,
+            commitments_with_opening_points,
+        )
 
     # fold chains
     for query, (index, ro) in enumerate(zip(indices, reduced_openings)):
@@ -163,7 +189,7 @@ def verify_fri(
             raise FriError("InitialReducedOpeningHeightMismatch")
         ro_iter = list(ro)
         folded_eval = ro_iter.pop(0)[1]
-        domain_index = index
+        domain_index = index >> extra
         log_current = log_global_max_height
         for r, (beta, log_arity, step) in enumerate(
             zip(betas, log_arities, proof.commit_phase_steps)
@@ -176,7 +202,7 @@ def verify_fri(
                 group.append(folded_eval if j == pos else next(sib_it))
             log_folded = log_current - log_arity
             domain_index >>= log_arity
-            folded_eval = fold_row_host(
+            folded_eval = folding.fold_row(
                 E, domain_index, log_folded, log_arity, beta, group
             )
             # authenticate the opened group against the round commitment
@@ -202,14 +228,19 @@ def verify_fri(
         if ro_iter:
             raise FriError("UnconsumedReducedOpenings")
 
-        x = F.exp_h(
-            F.two_adic_generator_h(log_final_height),
-            reverse_bits_len(domain_index, log_final_height),
-        )
-        # Horner
-        eval_fp = E.zero_h()
-        for coeff in reversed(proof.final_poly):
-            eval_fp = E.add_h(E.base_mul_h(x, eval_fp), coeff)
+        if len(proof.final_poly) == 1:
+            # constant final poly: no evaluation point needed (also the
+            # only case for circle FRI, which has no two-adic generator)
+            eval_fp = proof.final_poly[0]
+        else:
+            x = F.exp_h(
+                F.two_adic_generator_h(log_final_height),
+                reverse_bits_len(domain_index, log_final_height),
+            )
+            # Horner
+            eval_fp = E.zero_h()
+            for coeff in reversed(proof.final_poly):
+                eval_fp = E.add_h(E.base_mul_h(x, eval_fp), coeff)
         if eval_fp != folded_eval:
             raise FriError("FinalPolyMismatch")
 

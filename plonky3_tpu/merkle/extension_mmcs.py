@@ -32,6 +32,20 @@ class ExtensionMmcs:
         mode = "np" if isinstance(mat, _np.ndarray) else False
         return self.inner.commit([mat.reshape(h, w * d)], jit_tree=mode)
 
+    def commit_ext_matrices(self, mats, jit_tree=False) -> MerkleProverData:
+        """Commit several (h_i, w_i, D) ext matrices in ONE tree (mixed
+        heights; the circle PCS first-layer commitment)."""
+        import numpy as _np
+
+        flat = []
+        for mat in mats:
+            h, w, d = mat.shape
+            assert d == self.D
+            flat.append(mat.reshape(h, w * d))
+        if all(isinstance(m, _np.ndarray) for m in flat):
+            jit_tree = "np"
+        return self.inner.commit(flat, jit_tree=jit_tree)
+
     def open_batch(self, data: MerkleProverData, index: int):
         rows, proof = self.inner.open_batch(data, index)
         # regroup base values into extension tuples
