@@ -330,6 +330,9 @@ class CirclePcs:
     def natural_domain_for_degree(self, degree: int) -> CircleDomain:
         return CircleDomain.standard(log2_strict(degree))
 
+    def log_max_lde_height(self) -> int:
+        return 30  # CIRCLE_TWO_ADICITY - 1 (pcs.rs:139)
+
     # ------------------------------------------------------------------
     def commit(self, evaluations):
         """evaluations: [(CircleDomain, (n, w) natural-order device mat)].
@@ -361,7 +364,7 @@ class CirclePcs:
         return out_cfft[perm]
 
     # ------------------------------------------------------------------
-    def open(self, data_with_points, challenger):
+    def open(self, data_with_points, challenger, spans=None):
         """data_with_points: [(data, [[zeta_uni per matrix]])]; zeta_uni
         are projective-line QM31 tuples. Returns (opened_values, proof)."""
         # --- claimed evaluations via Lagrange over the sub prefix ---

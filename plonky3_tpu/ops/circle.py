@@ -101,11 +101,23 @@ def cfft_perm_indices(log_n: int) -> np.ndarray:
 
 
 class CircleDomain:
-    """Twin coset of size 2^log_n with a host shift point."""
+    """Twin coset of size 2^log_n with a host shift point.
+
+    Hashable by value: domains are jit static args (shape keys)."""
 
     def __init__(self, log_n: int, shift):
         self.log_n = log_n
         self.shift = shift
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, CircleDomain)
+            and self.log_n == other.log_n
+            and self.shift == other.shift
+        )
+
+    def __hash__(self):
+        return hash((self.log_n, self.shift))
 
     @staticmethod
     def standard(log_n: int) -> "CircleDomain":
@@ -151,6 +163,185 @@ class CircleDomain:
     def vanishing_poly_h(self, at_x_vn, log_n=None):
         """v_n(at) - v_n(shift), given v_n(at) precomputed by caller."""
         return (at_x_vn - pt_v_n(self.shift[0], self.log_n)) % _P
+
+    # ------------------------------------------------------------------
+    # PolynomialSpace surface (domain.rs:150-366) — makes CircleDomain a
+    # drop-in for TwoAdicCoset in the generic uni-stark prover/verifier
+    # ------------------------------------------------------------------
+    def is_standard(self):
+        return self.shift == pt_generator(self.log_n + 1)
+
+    def first_point(self) -> int:
+        """shift.to_projective_line() = y/(x+1) (domain.rs:152)."""
+        return (self.shift[1] * pow(self.shift[0] + 1, _P - 2, _P)) % _P
+
+    def create_disjoint_domain(self, min_size: int) -> "CircleDomain":
+        assert self.is_standard()
+        log_k = (min_size - 1).bit_length()
+        if log_k == self.log_n:
+            log_k += 1
+        return CircleDomain.standard(log_k)
+
+    def split_domains(self, num_chunks: int) -> list:
+        assert self.is_standard()
+        log_c = num_chunks.bit_length() - 1
+        assert 1 << log_c == num_chunks and log_c <= self.log_n
+        pts = self.points_natural()[:num_chunks]
+        return [
+            CircleDomain(self.log_n - log_c, p) for p in pts
+        ]
+
+    def split_evals(self, num_chunks: int, evals):
+        """Forward-backward interleave (domain.rs:196-213,363): row i goes
+        to chunk fb(i) with fb pattern 0 1 .. k-1 k-1 .. 1 0 repeating."""
+        import jax.numpy as jnp
+
+        n = evals.shape[0]
+        k = num_chunks
+        assert n % (2 * k) == 0
+        blocks = evals.reshape((n // (2 * k), 2 * k) + evals.shape[1:])
+        out = []
+        for c in range(k):
+            pair = jnp.stack(
+                [blocks[:, c], blocks[:, 2 * k - 1 - c]], axis=1
+            )
+            out.append(pair.reshape((n // k,) + evals.shape[1:]))
+        return out
+
+    # ---- host (verifier) ext-point selectors ----
+    def next_point_ext(self, E, t):
+        """projective-line coordinate of point(t) + generator(log_n)."""
+        p = ept_from_projective_line(E, t)
+        g = pt_generator(self.log_n)
+        x = E.sub_h(E.base_mul_h(g[0], p[0]), E.base_mul_h(g[1], p[1]))
+        y = E.add_h(E.base_mul_h(g[1], p[0]), E.base_mul_h(g[0], p[1]))
+        return E.mul_h(y, E.inv_h(E.add_h(x, E.one_h())))
+
+    def vanishing_poly_at_point_ext(self, E, t):
+        p = ept_from_projective_line(E, t)
+        return E.sub_h(
+            ept_v_n(E, p[0], self.log_n),
+            E.from_base_h(pt_v_n(self.shift[0], self.log_n)),
+        )
+
+    def selectors_at_point_ext(self, E, t):
+        """LagrangeSelectors at an ext point (domain.rs:219-246)."""
+        at = ept_from_projective_line(E, t)
+        neg_shift = pt_neg(self.shift)
+        k = _s_p_at_p_host(neg_shift, self.log_n)
+        z = E.sub_h(
+            ept_v_n(E, at[0], self.log_n),
+            E.from_base_h(pt_v_n(self.shift[0], self.log_n)),
+        )
+        den_shift = _v_tilde_p_ext(E, self.shift, at)
+        den_negshift_k = E.base_mul_h(k, _v_tilde_p_ext(E, neg_shift, at))
+        z_inv_dk = E.mul_h(z, E.inv_h(den_negshift_k))
+        return dict(
+            is_first_row=E.mul_h(z, E.inv_h(den_shift)),
+            is_last_row=E.base_mul_h(k, z_inv_dk),
+            is_transition=E.sub_h(E.one_h(), z_inv_dk),
+            inv_vanishing=E.inv_h(z),
+        )
+
+    # ---- device (prover) selectors over a disjoint standard coset ----
+    def selectors_on_coset_device(self, coset: "CircleDomain"):
+        import jax.numpy as jnp
+
+        vals = _selectors_on_coset_np(
+            self.log_n, self.shift, coset.log_n, coset.shift
+        )
+        return {k: jnp.asarray(v) for k, v in vals.items()}
+
+
+def _s_p_at_p_host(p, log_n: int) -> int:
+    """point.rs:110: -(v_n_prod(log_n)·2^(2·log_n-1))·y."""
+    x = p[0]
+    if log_n >= 2:
+        out = x
+        for _ in range(log_n - 2):
+            x = (2 * x * x - 1) % _P
+            out = (out * x) % _P
+    else:
+        out = 1
+    return (-(out * pow(2, 2 * log_n - 1, _P)) * p[1]) % _P
+
+
+def _v_tilde_p_ext(E, p, at):
+    """(at - p).to_projective_line() (point.rs:105)."""
+    dx = E.add_h(E.base_mul_h(p[0], at[0]), E.base_mul_h(p[1], at[1]))
+    dy = E.sub_h(E.base_mul_h(p[0], at[1]), E.base_mul_h(p[1], at[0]))
+    return E.mul_h(dy, E.inv_h(E.add_h(dx, E.one_h())))
+
+
+def ept_from_projective_line(E, t):
+    t2 = E.mul_h(t, t)
+    inv_denom = E.inv_h(E.add_h(E.one_h(), t2))
+    return (
+        E.mul_h(E.sub_h(E.one_h(), t2), inv_denom),
+        E.mul_h(E.add_h(t, t), inv_denom),
+    )
+
+
+def ept_v_n(E, x, log_n: int):
+    for _ in range(log_n - 1):
+        xx = E.mul_h(x, x)
+        x = E.sub_h(E.add_h(xx, xx), E.one_h())
+    return x
+
+
+# host vectorized numpy helpers for the prover-side coset selectors
+def _pow_np(a: np.ndarray, e: int) -> np.ndarray:
+    acc = np.ones_like(a)
+    base = a.astype(np.uint64)
+    while e:
+        if e & 1:
+            acc = (acc * base) % _P
+        base = (base * base) % _P
+        e >>= 1
+    return acc
+
+
+_SELECTOR_CACHE: dict = {}
+
+
+def _selectors_on_coset_np(log_n, shift, coset_log_n, coset_shift):
+    """Vectorized selectors_on_coset (domain.rs:262-320), cached np."""
+    key = (log_n, shift, coset_log_n, coset_shift)
+    out = _SELECTOR_CACHE.get(key)
+    if out is not None:
+        return out
+    dom = CircleDomain(coset_log_n, coset_shift)
+    pts = dom.points_natural()
+    ax = np.array([p[0] for p in pts], dtype=np.uint64)
+    ay = np.array([p[1] for p in pts], dtype=np.uint64)
+
+    # z = v_n(at) - v_n(shift)
+    x = ax.copy()
+    for _ in range(log_n - 1):
+        x = (2 * x * x + _P - 1) % _P
+    z = (x + _P - pt_v_n(shift[0], log_n)) % _P
+
+    def v_tilde(p):
+        dx = (p[0] * ax + p[1] * ay) % _P
+        dy = (p[0] * ay + (_P - p[1]) * ax) % _P
+        return (dy * _pow_np((dx + 1) % _P, _P - 2)) % _P
+
+    neg_shift = pt_neg(shift)
+    k = _s_p_at_p_host(neg_shift, log_n)
+    den_shift = v_tilde(shift)
+    den_negshift_k = (v_tilde(neg_shift) * k) % _P
+    inv_z = _pow_np(z, _P - 2)
+    z_inv_dk = (z * _pow_np(den_negshift_k, _P - 2)) % _P
+    out = dict(
+        is_first_row=((z * _pow_np(den_shift, _P - 2)) % _P).astype(
+            np.uint32
+        ),
+        is_last_row=((z_inv_dk * k) % _P).astype(np.uint32),
+        is_transition=((1 + _P - z_inv_dk) % _P).astype(np.uint32),
+        inv_vanishing=inv_z.astype(np.uint32),
+    )
+    _SELECTOR_CACHE[key] = out
+    return out
 
 
 # ---------------------------------------------------------------------------

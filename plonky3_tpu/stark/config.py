@@ -49,6 +49,29 @@ def poseidon2_stark_config(F, E, fri_params: FriParameters) -> StarkConfig:
     return StarkConfig(pcs=pcs)
 
 
+def circle_stark_config(fri_params: FriParameters) -> StarkConfig:
+    """Mersenne-31 circle STARK config (the reference's m31 benchmark
+    objective): CirclePcs + keccak merkle + SerializingChallenger32.
+
+    fri_params must have max_log_arity == 1 and log_final_poly_len == 0
+    (circle FRI restrictions, fri/src/config.rs:12)."""
+    from ..circle_pcs import CirclePcs
+    from ..fields.mersenne31 import Mersenne31
+    from ..fields.qm31 import QM31
+    from ..hashes.keccak_sponge import KeccakCompressor, KeccakFieldSponge
+
+    assert fri_params.max_log_arity == 1
+    assert fri_params.log_final_poly_len == 0
+    mmcs = MerkleTreeMmcs(
+        sponge=KeccakFieldSponge(Mersenne31), compressor=KeccakCompressor()
+    )
+    pcs = CirclePcs(
+        fri=fri_params, mmcs=mmcs,
+        fri_mmcs=ExtensionMmcs(inner=mmcs, D=QM31.D),
+    )
+    return StarkConfig(pcs=pcs, challenger_kind="keccak")
+
+
 def keccak_stark_config(F, E, fri_params: FriParameters) -> StarkConfig:
     """The KeccakF merkle/challenger config of the reference benchmarks
     (examples/src/types.rs:19-42: keccak sponge 25/17/4 over u64 lanes,

@@ -27,7 +27,9 @@ def verify(
 ):
     F, E, pcs = config.F, config.E, config.pcs
     log_n = proof.degree_bits
-    if log_n > F.TWO_ADICITY - pcs.fri.log_blowup:
+    log_max = getattr(pcs, "log_max_lde_height", None)
+    log_max = log_max() if log_max else F.TWO_ADICITY
+    if log_n > log_max - pcs.fri.log_blowup:
         raise VerificationError("InvalidProofShape: degree too large")
     n = 1 << log_n
 
