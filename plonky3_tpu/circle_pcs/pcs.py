@@ -500,23 +500,19 @@ class CirclePcs:
                 )
                 # indices carry log_max bits (log_global + 1 extra bit)
                 bits_reduced = log_max - log_batch_max
-                vals, proofs = [], []
-                for index in indices:
-                    rows, pf = self.mmcs.open_batch(
-                        data, index >> bits_reduced
-                    )
-                    vals.append(rows)
-                    proofs.append(pf)
+                vals, proofs = self.mmcs.open_batch_many(
+                    data, [i >> bits_reduced for i in indices]
+                )
                 input_openings.append(
                     BatchMultiOpening(
                         opened_values=vals, opening_proofs=proofs
                     )
                 )
-            fl_sibs, fl_proofs = [], []
-            for index in indices:
-                ext_rows, pf = self.fri_mmcs.open_batch(
-                    fl_data, index >> 1
-                )
+            ext_pq, fl_proofs = self.fri_mmcs.open_batch_many(
+                fl_data, [i >> 1 for i in indices]
+            )
+            fl_sibs = []
+            for index, ext_rows in zip(indices, ext_pq):
                 sibs = []
                 # rows are returned per matrix in commit order (ascending
                 # log_height); sibling = other member of the pair
@@ -525,7 +521,6 @@ class CirclePcs:
                     b = (index >> bits) & 1
                     sibs.append(row[b ^ 1])
                 fl_sibs.append(sibs)
-                fl_proofs.append(pf)
             return CircleInputProof(
                 input_openings=input_openings,
                 first_layer_siblings=fl_sibs,
@@ -607,18 +602,18 @@ class CirclePcs:
                     dims.append((h, len(pv[0][1])))
                 log_batch_max = log2_strict(max(heights))
                 bits_reduced = log_max - log_batch_max
-                for q, index in enumerate(indices):
-                    ok = self.mmcs.verify_batch(
-                        commit,
-                        dims,
-                        index >> bits_reduced,
-                        opening.opened_values[q],
-                        opening.opening_proofs[q],
-                    )
-                    if not ok:
-                        raise FriError("InputMmcsError")
+                ok = self.mmcs.verify_batch_many(
+                    commit,
+                    dims,
+                    [index >> bits_reduced for index in indices],
+                    opening.opened_values,
+                    opening.opening_proofs,
+                )
+                if not ok:
+                    raise FriError("InputMmcsError")
 
             all_fri_inputs = []
+            fl_rows_by_query = []
             fl_dims = [
                 (1 << (log_h - 1), 2) for log_h in log_heights
             ]
@@ -722,17 +717,18 @@ class CirclePcs:
                         [c for v in fl_values for c in v]
                     )
                 fri_input.sort(key=lambda t: -t[0])
-                # authenticate the first-layer pair rows
-                ok = self.fri_mmcs.inner.verify_batch(
-                    proof.first_layer_commitment,
-                    [(h, 2 * 4) for (h, _) in fl_dims],
-                    index >> 1,
-                    fl_row_values,
-                    ip.first_layer_proofs[q],
-                )
-                if not ok:
-                    raise FriError("FirstLayerMmcsError")
                 all_fri_inputs.append(fri_input)
+                fl_rows_by_query.append(fl_row_values)
+            # authenticate every query's first-layer pair rows at once
+            ok = self.fri_mmcs.inner.verify_batch_many(
+                proof.first_layer_commitment,
+                [(h, 2 * 4) for (h, _) in fl_dims],
+                [index >> 1 for index in indices],
+                fl_rows_by_query,
+                ip.first_layer_proofs,
+            )
+            if not ok:
+                raise FriError("FirstLayerMmcsError")
             return all_fri_inputs
 
         verify_fri(

@@ -128,8 +128,36 @@ def cmd_prove(args):
     if size is not None:
         print(f"  proof size: {size} bytes")
     fp = config.pcs.fri
+    from .stark.security import (
+        FriRegime,
+        InstanceShape,
+        StarkAirParams,
+        conjectured_security,
+        proven_security,
+    )
+    from .air.api import get_symbolic_layout
+
+    n_cons, max_deg = get_symbolic_layout(air)
+    regime = FriRegime(
+        log_blowup=fp.log_blowup,
+        num_queries=fp.num_queries,
+        log_final_poly_len=fp.log_final_poly_len,
+        max_log_arity=fp.max_log_arity,
+        commit_pow_bits=fp.commit_proof_of_work_bits,
+        query_pow_bits=fp.query_proof_of_work_bits,
+    )
+    shape = InstanceShape(
+        log_trace_length=log_n,
+        modulus_bits=31.0 * config.E.D,
+        collision_resistance=128.0,
+    )
+    air_params = StarkAirParams(
+        num_constraints=n_cons, max_constraint_degree=max_deg, max_combo=2
+    )
     print(
-        f"  conjectured soundness: {fp.conjectured_soundness_bits()} bits"
+        f"  soundness: {conjectured_security(regime, shape):.1f} bits "
+        f"conjectured, {proven_security(regime, air_params, shape):.1f} "
+        f"proven"
     )
     return total
 

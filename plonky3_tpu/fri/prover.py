@@ -226,17 +226,14 @@ def _answer_queries(E, fri_mmcs, log_arities, datas, start_indices):
     indices = list(start_indices)
     for log_arity, data in zip(log_arities, datas):
         arity = 1 << log_arity
-        sibs, proofs = [], []
-        new_indices = []
-        for idx in indices:
-            row_idx = idx >> log_arity
-            ext_rows, proof = fri_mmcs.open_batch(data, row_idx)
+        row_indices = [idx >> log_arity for idx in indices]
+        ext_pq, proofs = fri_mmcs.open_batch_many(data, row_indices)
+        sibs = []
+        for idx, ext_rows in zip(indices, ext_pq):
             group = ext_rows[0]  # single matrix per round
             pos = idx % arity
             sibs.append([g for j, g in enumerate(group) if j != pos])
-            proofs.append(proof)
-            new_indices.append(row_idx)
-        indices = new_indices
+        indices = row_indices
         steps.append(
             CommitPhaseStep(
                 log_arity=log_arity,

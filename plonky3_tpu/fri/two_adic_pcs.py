@@ -261,13 +261,9 @@ class TwoAdicFriPcs:
                     max(m.shape[0] for m in data.matrices)
                 )
                 bits_reduced = log_global_max_height - log_batch_max
-                vals, proofs = [], []
-                for index in indices:
-                    rows, proof = self.mmcs.open_batch(
-                        data, index >> bits_reduced
-                    )
-                    vals.append(rows)
-                    proofs.append(proof)
+                vals, proofs = self.mmcs.open_batch_many(
+                    data, [i >> bits_reduced for i in indices]
+                )
                 openings.append(
                     BatchMultiOpening(
                         opened_values=vals, opening_proofs=proofs

@@ -183,7 +183,10 @@ def verify_fri(
             commitments_with_opening_points,
         )
 
-    # fold chains
+    # fold chains; per-round opened groups collected for ONE batched
+    # Merkle authentication per round (vs per-query path walks)
+    round_groups = [[] for _ in range(rounds)]
+    round_indices = [[] for _ in range(rounds)]
     for query, (index, ro) in enumerate(zip(indices, reduced_openings)):
         if not ro or ro[0][0] != log_global_max_height:
             raise FriError("InitialReducedOpeningHeightMismatch")
@@ -205,16 +208,10 @@ def verify_fri(
             folded_eval = folding.fold_row(
                 E, domain_index, log_folded, log_arity, beta, group
             )
-            # authenticate the opened group against the round commitment
-            ok = fri_mmcs.verify_batch(
-                proof.commit_phase_commits[r],
-                [(1 << log_folded, arity)],
-                domain_index,
-                [group],
-                step.opening_proofs[query],
+            round_groups[r].append(
+                [[c for v in group for c in v]]
             )
-            if not ok:
-                raise FriError(f"CommitPhaseMmcsError round {r}")
+            round_indices[r].append(domain_index)
             log_current = log_folded
             if ro_iter and ro_iter[0][0] == log_folded:
                 beta_pow = beta
@@ -244,6 +241,24 @@ def verify_fri(
         if eval_fp != folded_eval:
             raise FriError("FinalPolyMismatch")
 
+    # batched commit-phase authentication (one pass per round)
+    log_current = log_global_max_height
+    for r, (log_arity, step) in enumerate(
+        zip(log_arities, proof.commit_phase_steps)
+    ):
+        arity = 1 << log_arity
+        log_folded = log_current - log_arity
+        ok = fri_mmcs.inner.verify_batch_many(
+            proof.commit_phase_commits[r],
+            [(1 << log_folded, arity * E.D)],
+            round_indices[r],
+            round_groups[r],
+            [step.opening_proofs[q] for q in range(params.num_queries)],
+        )
+        if not ok:
+            raise FriError(f"CommitPhaseMmcsError round {r}")
+        log_current = log_folded
+
 
 def _open_inputs(
     E,
@@ -256,17 +271,27 @@ def _open_inputs(
     commitments_with_opening_points,
 ):
     """Authenticate input openings and build per-query reduced openings
-    (verifier.rs open_inputs:617)."""
+    (verifier.rs open_inputs:617) — batched across queries: one
+    vectorized Merkle check per commitment and one numpy Mred per
+    matrix, instead of per-query python loops over every column."""
+    import numpy as np
+
     F = E.base
+    Q = len(indices)
     if len(input_openings) != len(commitments_with_opening_points):
         raise FriError("InputProofBatchCountMismatch")
 
-    # authenticate
+    # authenticate (all queries at once per commitment)
     for batch, (opening, (commit, mats)) in enumerate(
         zip(input_openings, commitments_with_opening_points)
     ):
-        if len(opening.opened_values) != len(indices):
+        if len(opening.opened_values) != Q:
             raise FriError(f"InputOpeningsQueryCountMismatch batch {batch}")
+        for q in range(Q):
+            if len(opening.opened_values[q]) != len(mats):
+                raise FriError(
+                    f"BatchOpenedValuesCountMismatch batch {batch}"
+                )
         heights = [dom.size << params.log_blowup for (dom, _) in mats]
         dims = []
         for m, (dom, points_and_values) in enumerate(mats):
@@ -275,56 +300,104 @@ def _open_inputs(
             width = len(points_and_values[0][1])
             dims.append((heights[m], width))
         bits_reduced = log_global_max_height - max(heights).bit_length() + 1
-        for q, index in enumerate(indices):
-            if len(opening.opened_values[q]) != len(mats):
-                raise FriError(f"BatchOpenedValuesCountMismatch batch {batch}")
-            ok = input_mmcs.verify_batch(
-                commit,
-                dims,
-                index >> bits_reduced,
-                opening.opened_values[q],
-                opening.opening_proofs[q],
-            )
-            if not ok:
-                raise FriError(f"InputError batch {batch} query {q}")
+        ok = input_mmcs.verify_batch_many(
+            commit,
+            dims,
+            [index >> bits_reduced for index in indices],
+            opening.opened_values,
+            opening.opening_proofs,
+        )
+        if not ok:
+            raise FriError(f"InputError batch {batch}")
 
-    # reduce
-    out = []
-    for q, index in enumerate(indices):
-        acc = {}  # log_height -> [alpha_pow, reduced]
-        for batch, (opening, (commit, mats)) in enumerate(
-            zip(input_openings, commitments_with_opening_points)
-        ):
-            for m, (dom, points_and_values) in enumerate(mats):
-                log_height = dom.log_n + params.log_blowup
-                bits_reduced = log_global_max_height - log_height
-                rev_idx = reverse_bits_len(index >> bits_reduced, log_height)
-                x = F.mul_h(
+    # reduce: per-height alpha offsets advance identically for every query
+    # (two_adic_pcs.rs:601-655), so Mred vectorizes over queries.
+    max_k = 0
+    for opening, (commit, mats) in zip(
+        input_openings, commitments_with_opening_points
+    ):
+        for dom, points_and_values in mats:
+            max_k += len(points_and_values) * len(
+                points_and_values[0][1]
+            )
+    # standard-form host powers (E.powers_np returns the device wire
+    # form, Monty for BinomialExtension — not usable for host math)
+    alpha_pows = [E.one_h()]
+    for _ in range(max(max_k, 1) - 1):
+        alpha_pows.append(E.mul_h(alpha_pows[-1], alpha))
+
+    accs = [dict() for _ in range(Q)]  # log_height -> ext value
+    offsets = {}  # log_height -> next alpha exponent
+    P = F.P
+    for batch, (opening, (commit, mats)) in enumerate(
+        zip(input_openings, commitments_with_opening_points)
+    ):
+        for m, (dom, points_and_values) in enumerate(mats):
+            log_height = dom.log_n + params.log_blowup
+            bits_reduced = log_global_max_height - log_height
+            w = len(points_and_values[0][1])
+            rows = np.array(
+                [opening.opened_values[q][m] for q in range(Q)],
+                dtype=np.uint64,
+            )
+            if rows.shape[1] != w:
+                raise FriError("PointEvaluationCountMismatch")
+            # query points x_q = GENERATOR * g^rev(idx)
+            g = F.two_adic_generator_h(log_height)
+            xs = [
+                F.mul_h(
                     F.GENERATOR,
-                    F.exp_h(F.two_adic_generator_h(log_height), rev_idx),
+                    F.exp_h(
+                        g,
+                        reverse_bits_len(
+                            index >> bits_reduced, log_height
+                        ),
+                    ),
                 )
-                entry = acc.setdefault(log_height, [E.one_h(), E.zero_h()])
-                row = opening.opened_values[q][m]
-                for p, (z, ps_at_z) in enumerate(points_and_values):
-                    if len(row) != len(ps_at_z):
-                        raise FriError("PointEvaluationCountMismatch")
-                    denom = E.sub_h(z, E.from_base_h(x))
+                for index in indices
+            ]
+            k0 = offsets.setdefault(log_height, 0)
+            ap = np.array(alpha_pows[k0 : k0 + w], dtype=np.uint64)
+            # Mred0[q] = sum_j alpha^(k0+j) * row[q, j]
+            mred0 = [
+                ((rows * ap[None, :, d]) % P).sum(axis=1) % P
+                for d in range(E.D)
+            ]
+            mred0 = [
+                tuple(int(mred0[d][q]) for d in range(E.D))
+                for q in range(Q)
+            ]
+            for p_i, (z, ps_at_z) in enumerate(points_and_values):
+                if len(ps_at_z) != w:
+                    raise FriError("PointEvaluationCountMismatch")
+                # C = sum_j alpha^(k0 + p_i*w + j) * ps_at_z[j]
+                scale = E.exp_h(alpha, p_i * w)
+                c_z = E.zero_h()
+                for j, pz in enumerate(ps_at_z):
+                    c_z = E.add_h(c_z, E.mul_h(alpha_pows[k0 + j], pz))
+                c_z = E.mul_h(scale, c_z)
+                for q, index in enumerate(indices):
+                    denom = E.sub_h(z, E.from_base_h(xs[q]))
                     if denom == E.zero_h():
                         raise FriError("OpeningPointMatchesQueryPoint")
-                    inv_denom = E.inv_h(denom)
-                    for p_at_x, p_at_z in zip(row, ps_at_z):
-                        quot = E.mul_h(
-                            E.sub_h(p_at_z, E.from_base_h(p_at_x)), inv_denom
-                        )
-                        entry[1] = E.add_h(
-                            entry[1], E.mul_h(entry[0], quot)
-                        )
-                        entry[0] = E.mul_h(entry[0], alpha)
-        if params.log_blowup in acc and acc[params.log_blowup][1] != E.zero_h():
+                    mred = E.mul_h(scale, mred0[q])
+                    quot = E.mul_h(
+                        E.sub_h(c_z, mred), E.inv_h(denom)
+                    )
+                    accs[q][log_height] = E.add_h(
+                        accs[q].get(log_height, E.zero_h()), quot
+                    )
+            offsets[log_height] = k0 + len(points_and_values) * w
+
+    out = []
+    for q in range(Q):
+        acc = accs[q]
+        if (
+            params.log_blowup in acc
+            and acc[params.log_blowup] != E.zero_h()
+        ):
             raise FriError("FinalPolyMismatch (height-1 quotient nonzero)")
         out.append(
-            sorted(
-                ((lh, v[1]) for lh, v in acc.items()), key=lambda t: -t[0]
-            )
+            sorted(((lh, v) for lh, v in acc.items()), key=lambda t: -t[0])
         )
     return out

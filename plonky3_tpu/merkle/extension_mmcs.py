@@ -60,6 +60,23 @@ class ExtensionMmcs:
             )
         return ext_rows, proof
 
+    def open_batch_many(self, data: MerkleProverData, indices):
+        """Batched variant of open_batch (one transfer per matrix)."""
+        rows_pq, proofs_pq = self.inner.open_batch_many(data, indices)
+        ext_pq = []
+        for rows in rows_pq:
+            ext_rows = []
+            for row in rows:
+                assert len(row) % self.D == 0
+                ext_rows.append(
+                    [
+                        tuple(row[i : i + self.D])
+                        for i in range(0, len(row), self.D)
+                    ]
+                )
+            ext_pq.append(ext_rows)
+        return ext_pq, proofs_pq
+
     def verify_batch(self, root_std, dims, index, ext_rows, proof) -> bool:
         """dims: list of (height, ext_width)."""
         rows = [

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
+
 
 @dataclass
 class Commitments:
@@ -24,3 +26,18 @@ class Proof:
     opened_values: OpenedValues
     opening_proof: object  # FriProof
     degree_bits: int
+
+    def size_in_bytes(self) -> int:
+        """Serialized size with 4-byte field elements / digest words
+        (the reference's report_proof_size analog)."""
+
+        def count(x):
+            if isinstance(x, (int, np.integer)):
+                return 4
+            if isinstance(x, (list, tuple)):
+                return sum(count(v) for v in x)
+            if hasattr(x, "__dict__"):
+                return sum(count(v) for v in vars(x).values())
+            return 0
+
+        return count(self)

@@ -1,0 +1,72 @@
+"""BLAKE3 / SHA-256 kernels: official vectors + device/host lockstep."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from plonky3_tpu.hashes.blake3 import (
+    IV as B3_IV,
+    blake3,
+    compress_arrays as b3_compress,
+    compress_device as b3_compress_device,
+)
+from plonky3_tpu.hashes.sha256 import (
+    IV as SHA_IV,
+    compress_arrays as sha_compress,
+    sha256_compress,
+)
+
+
+# official BLAKE3 test vectors (input byte i = i % 251)
+B3_VECTORS = {
+    0: "af1349b9f5f9a1a6a0404dea36dcc9499bcb25c9adc112b7cc9a93cae41f3262",
+    1: "2d3adedff11b61f14c886e35afa036736dcd87a74d27b5c1510225d0f592e213",
+    1024: "42214739f095a406f3fc83deb889744ac00df831c10daa55189b5d121c855af7",
+    2048: "e776b6028c7cd22a4d0ba182a8bf62205d2ef576467e838ed6f2529b85fba24a",
+    3072: "b98cb0ff3623be03326b373de6b9095218513e64f1ee2edd2525c7ad1e5cffd2",
+}
+
+
+@pytest.mark.parametrize("n", sorted(B3_VECTORS))
+def test_blake3_official_vectors(n):
+    msg = bytes(i % 251 for i in range(n))
+    assert blake3(msg).hex() == B3_VECTORS[n]
+
+
+def test_blake3_compress_device_lockstep(rng):
+    import jax.numpy as jnp
+
+    cv = rng.integers(0, 1 << 32, (6, 8), dtype=np.uint32)
+    blk = rng.integers(0, 1 << 32, (6, 16), dtype=np.uint32)
+    dev = np.asarray(
+        b3_compress_device(jnp.asarray(cv), jnp.asarray(blk),
+                           counter_lo=3, flags=1)
+    )
+    with np.errstate(over="ignore"):
+        host = b3_compress(np, cv, blk, 3, 0, 64, 1)
+    np.testing.assert_array_equal(dev, host)
+
+
+def test_sha256_compress_vs_hashlib():
+    """One-block message: compress(IV, padded block) == hashlib digest."""
+    msg = b"abc"
+    padded = bytearray(msg) + b"\x80" + b"\x00" * (64 - len(msg) - 1 - 8)
+    padded += (len(msg) * 8).to_bytes(8, "big")
+    block = [
+        int.from_bytes(padded[4 * i : 4 * i + 4], "big") for i in range(16)
+    ]
+    out = sha256_compress([int(x) for x in SHA_IV], block)
+    digest = b"".join(int(x).to_bytes(4, "big") for x in out)
+    assert digest == hashlib.sha256(msg).digest()
+
+
+def test_sha256_compress_device_lockstep(rng):
+    import jax.numpy as jnp
+
+    st = rng.integers(0, 1 << 32, (5, 8), dtype=np.uint32)
+    blk = rng.integers(0, 1 << 32, (5, 16), dtype=np.uint32)
+    with np.errstate(over="ignore"):
+        host = sha_compress(np, st, blk)
+    dev = np.asarray(sha_compress(jnp, jnp.asarray(st), jnp.asarray(blk)))
+    np.testing.assert_array_equal(dev, host)

@@ -1,0 +1,51 @@
+"""Multi-chip sharding layer on the 8-device CPU mesh: the sharded LDE
+and sharded Merkle tree must be BIT-IDENTICAL to the single-device path
+(SURVEY.md §4 multi-host test strategy)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from plonky3_tpu.fields.params import KoalaBear as F
+from plonky3_tpu.hashes.poseidon2 import default_poseidon2
+from plonky3_tpu.hashes.sponge import PaddingFreeSponge, TruncatedPermutation
+from plonky3_tpu.merkle.mmcs import MerkleTreeMmcs
+from plonky3_tpu.ops.ntt import coset_lde_batch
+from plonky3_tpu.parallel.merkle import sharded_tree_layers
+from plonky3_tpu.parallel.ntt import coset_lde_batch_sharded
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = np.array(jax.devices()[:8])
+    return Mesh(devs, ("sp",))
+
+
+def test_sharded_lde_bit_identical(mesh, rng):
+    mat = jnp.asarray(F.rand_np(rng, (256, 5)))
+    ref = np.asarray(coset_lde_batch(F, mat, 1, F.GENERATOR))
+    sharded_in = jax.device_put(
+        mat, NamedSharding(mesh, P("sp", None))
+    )
+    out = coset_lde_batch_sharded(F, sharded_in, 1, F.GENERATOR, mesh)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_sharded_merkle_bit_identical(mesh, rng):
+    mmcs = MerkleTreeMmcs(
+        sponge=PaddingFreeSponge(default_poseidon2(F, 24), rate=16, out=8),
+        compressor=TruncatedPermutation(default_poseidon2(F, 16), chunk=8),
+    )
+    mat = jnp.asarray(F.rand_np(rng, (128, 9)))
+    ref = mmcs.commit([mat])
+    sharded = jax.device_put(mat, NamedSharding(mesh, P("sp", None)))
+    layers = sharded_tree_layers(mmcs, sharded, mesh)
+    root = tuple(
+        int(x) for x in F.from_monty_np(np.asarray(layers[-1][0]))
+    )
+    assert root == ref.root_std
+    for got, want in zip(layers, ref.layers):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
