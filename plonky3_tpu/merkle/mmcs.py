@@ -180,6 +180,8 @@ class MerkleTreeMmcs:
         F = self.F
         max_h = data.layers[0].shape[0]
         log_max = log2_strict(max_h)
+        import jax.numpy as jnp
+
         per_mat_rows = []
         for m in data.matrices:
             shift = log_max - log2_strict(m.shape[0])
@@ -187,11 +189,22 @@ class MerkleTreeMmcs:
             if isinstance(m, np.ndarray):
                 pulled = m[idxs]
             else:
-                import jax.numpy as jnp
-
                 pulled = np.asarray(m[jnp.asarray(idxs)])
             per_mat_rows.append(F.from_monty_np(pulled))
-        host_layers = data.host_layers(F)
+        # sibling digests via per-level gathers: (Q,) rows per level pulled
+        # in one transfer, instead of materializing whole layers on host
+        dif = data.digest_is_field
+        sib_levels = []  # [level] -> (Q, digest_w) standard np
+        idxs = np.array(indices, dtype=np.int64)
+        for lvl in range(log_max):
+            layer = data.layers[lvl]
+            want = (idxs ^ 1).astype(np.int32)
+            if isinstance(layer, np.ndarray):
+                sib = layer[want]
+            else:
+                sib = np.asarray(layer[jnp.asarray(want)])
+            sib_levels.append(F.from_monty_np(sib) if dif else sib)
+            idxs >>= 1
         rows_pq, proofs_pq = [], []
         for q, index in enumerate(indices):
             rows_pq.append(
@@ -200,13 +213,12 @@ class MerkleTreeMmcs:
                     for k in range(len(data.matrices))
                 ]
             )
-            proof = []
-            idx = index
-            for lvl in range(log_max):
-                sib = host_layers[lvl][idx ^ 1]
-                proof.append(tuple(int(x) for x in sib))
-                idx >>= 1
-            proofs_pq.append(proof)
+            proofs_pq.append(
+                [
+                    tuple(int(x) for x in sib_levels[lvl][q])
+                    for lvl in range(log_max)
+                ]
+            )
         return rows_pq, proofs_pq
 
     def verify_batch_many(
