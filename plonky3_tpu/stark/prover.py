@@ -106,7 +106,8 @@ def prove(
 
     trace_domain = pcs.natural_domain_for_degree(n)
     trace_data = pcs.commit([(trace_domain, trace)])
-    jax.block_until_ready(trace_data.layers[-1])
+    if hasattr(trace_data, "layers"):
+        jax.block_until_ready(trace_data.layers[-1])
     _mark("commit trace")
 
     ch = config.initialise_challenger()
@@ -142,7 +143,8 @@ def prove(
     sub_evals = quotient_domain.split_evals(num_chunks, q_flat)
     sub_domains = quotient_domain.split_domains(num_chunks)
     quotient_data = pcs.commit(list(zip(sub_domains, sub_evals)))
-    jax.block_until_ready(quotient_data.layers[-1])
+    if hasattr(quotient_data, "layers"):
+        jax.block_until_ready(quotient_data.layers[-1])
     _mark("commit quotient")
     ch.observe_digest(quotient_data.root_std)
 
