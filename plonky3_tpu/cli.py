@@ -83,12 +83,21 @@ def cmd_prove(args):
     from .stark.prover import prove
     from .stark.verifier import verify
 
-    F, E = _field(args.field)
-    mk_config = {
-        "poseidon2": poseidon2_stark_config,
-        "keccak-f": keccak_stark_config,
-    }[args.merkle_hash]
-    config = mk_config(F, E, _fri_params(args.fri))
+    if args.field == "mersenne-31":
+        from .fields.mersenne31 import Mersenne31
+        from .stark.config import circle_stark_config
+
+        F = Mersenne31
+        fp = _fri_params(args.fri)
+        assert fp.max_log_arity == 1, "circle FRI: use --fri testing/benchmark"
+        config = circle_stark_config(fp)
+    else:
+        F, E = _field(args.field)
+        mk_config = {
+            "poseidon2": poseidon2_stark_config,
+            "keccak-f": keccak_stark_config,
+        }[args.merkle_hash]
+        config = mk_config(F, E, _fri_params(args.fri))
     spans = _Spans()
     log_n = args.log_trace_length
 
@@ -167,7 +176,7 @@ def main(argv=None):
     sub = ap.add_subparsers(dest="cmd", required=True)
     p = sub.add_parser("prove")
     p.add_argument("--field", default="koala-bear",
-                   choices=["koala-bear", "baby-bear"])
+                   choices=["koala-bear", "baby-bear", "mersenne-31"])
     p.add_argument("--objective", default="poseidon-2-permutations",
                    choices=["poseidon-2-permutations", "fibonacci"])
     p.add_argument("--log-trace-length", type=int, default=10)
