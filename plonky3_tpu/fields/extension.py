@@ -214,7 +214,8 @@ class BinomialExtension:
             conj = self.frobenius(conj)
             prod = conj if prod is None else self.mul(prod, conj)
         norm = self.mul(a, prod)[..., 0]  # base field
-        ninv = self.base.inv(norm)
+        inv_fn = getattr(self.base, "batch_inv", self.base.inv)
+        ninv = inv_fn(norm)
         return self.base_mul(ninv, prod)
 
     def exp(self, a, e: int):

@@ -130,6 +130,17 @@ class Mersenne31Field:
     def inv(self, a):
         return self.exp(a, _P - 2)
 
+    def batch_inv(self, a):
+        """Amortized inverse (`field/src/batch_inverse.rs:29` analog)."""
+        from .batch_inv import batch_inv
+
+        return batch_inv(self, a)
+
+    def batch_inv_np(self, a):
+        from .batch_inv import batch_inv_np
+
+        return batch_inv_np(self, a)
+
     def to_monty(self, x):
         return x
 

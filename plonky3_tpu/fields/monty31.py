@@ -204,6 +204,24 @@ class Monty31:
         """Elementwise inverse via Fermat (a^(P-2)); 0 maps to 0."""
         return self.exp(a, self.P - 2)
 
+    def batch_inv(self, a):
+        """Amortized elementwise inverse (`field/src/batch_inverse.rs:29`):
+        two log-depth scans + ONE Fermat, ~6 muls/element. Zero -> zero."""
+        from .batch_inv import batch_inv
+
+        return batch_inv(self, a)
+
+    def batch_inv_np(self, a: np.ndarray) -> np.ndarray:
+        from .batch_inv import batch_inv_np
+
+        return batch_inv_np(self, a)
+
+    def try_sqrt_h(self, a: int):
+        """Tonelli–Shanks sqrt (host): r with r²=a, or None (try_sqrt)."""
+        from .batch_inv import try_sqrt_h
+
+        return try_sqrt_h(self, a)
+
     def to_monty(self, x):
         """Device standard-form uint32 -> Monty form."""
         return self.mul(x, _U32(self.R2))

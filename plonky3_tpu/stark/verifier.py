@@ -62,9 +62,13 @@ def verify(
     zeta = ch.sample_ext(E.D)
     zeta_next = trace_domain.next_point_ext(E, zeta)
 
-    # Reject ζ in the LDE domain (completeness/soundness guard,
-    # verifier.rs:448): ζ must not be a base-field coset point; any such
-    # collision is caught by the PCS (OpeningPointMatchesQueryPoint).
+    # Reject ζ on the trace domain (uni-stark/src/verifier.rs:448,
+    # OodPointInDomain): the opening at ζ divides by the trace-domain
+    # vanishing polynomial, which is zero exactly on the domain. Honest
+    # Fiat-Shamir sampling reaches this only with probability |H|/|EF|.
+    if trace_domain.vanishing_poly_at_point_ext(E, zeta) == E.zero_h():
+        raise VerificationError("OodPointInDomain")
+
     coords = [
         (trace_domain, [(zeta, ov.trace_local), (zeta_next, ov.trace_next)])
     ]

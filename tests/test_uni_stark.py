@@ -120,3 +120,31 @@ def test_mul_air_degree3_two_chunks(config, rng):
     proof = prove(config, air, trace, [])
     assert len(proof.opened_values.quotient_chunks) == 2
     verify(config, air, proof, [])
+
+
+def test_zeta_in_domain_rejected(config, monkeypatch):
+    """ζ landing on the trace domain must be rejected explicitly
+    (uni-stark/src/verifier.rs:448 OodPointInDomain)."""
+    air = FibonacciAir(F)
+    trace_std, publics = generate_fibonacci_trace(F, 4)
+    trace = jnp.asarray(F.to_monty_np(trace_std))
+    proof = prove(config, air, trace, publics)
+
+    # Force the second sample_ext (ζ) to return a domain point embedded in E.
+    dom = config.pcs.natural_domain_for_degree(1 << proof.degree_bits)
+    g = dom.first_point()  # a point of the trace domain (base field)
+    from plonky3_tpu.challenger import duplex as _dx
+
+    orig = _dx.DuplexChallenger.sample_ext
+    calls = {"n": 0}
+
+    def patched(self, d):
+        calls["n"] += 1
+        out = orig(self, d)
+        if calls["n"] == 2:  # α is 1st, ζ is 2nd
+            return E.from_base_h(g)
+        return out
+
+    monkeypatch.setattr(_dx.DuplexChallenger, "sample_ext", patched)
+    with pytest.raises(VerificationError, match="OodPointInDomain"):
+        verify(config, air, proof, publics)
