@@ -1,0 +1,69 @@
+"""Reference golden-fixture STARK configs, reproduced exactly.
+
+Mirrors `uni-stark/tests/fib_air.rs:118-153` (`make_two_adic_config`):
+BabyBear, Poseidon2BabyBear<16> drawn from `SmallRng::seed_from_u64(1)`,
+PaddingFreeSponge<Perm,16,8,8>, TruncatedPermutation<Perm,2,8,16>,
+DuplexChallenger<BB,Perm,16,8>, FriParameters{log_blowup:2,
+log_final_poly_len, max_log_arity:1, num_queries:2, commit_pow:1,
+query_pow:1} — the config whose proofs are the golden fixtures
+(`tests/fixtures/uni_stark_two_adic_v1.postcard`).
+"""
+
+from __future__ import annotations
+
+from ..challenger.duplex import DuplexChallenger
+from ..fields import BabyBear, BabyBearExt4
+from ..fri.config import FriParameters
+from ..fri.two_adic_pcs import TwoAdicFriPcs
+from ..hashes.poseidon2 import Poseidon2
+from ..hashes.sponge import PaddingFreeSponge, TruncatedPermutation
+from ..merkle.extension_mmcs import ExtensionMmcs
+from ..merkle.mmcs import MerkleTreeMmcs
+from ..stark.config import StarkConfig
+from .smallrng import poseidon2_constants_from_rng
+
+FIXTURE_TWO_ADIC = (
+    "/root/reference/uni-stark/tests/fixtures/uni_stark_two_adic_v1.postcard"
+)
+FIXTURE_CIRCLE = (
+    "/root/reference/uni-stark/tests/fixtures/uni_stark_circle_v1.postcard"
+)
+
+
+def poseidon2_baby_bear_16(seed: int = 1) -> Poseidon2:
+    """Poseidon2BabyBear<16> with rng-drawn constants (fib_air.rs:134-135)."""
+    ei, ef, internal = poseidon2_constants_from_rng(
+        BabyBear, 16, rounds_f=8, rounds_p=13, seed=seed
+    )
+    return Poseidon2(
+        F=BabyBear,
+        width=16,
+        d=7,
+        rc_external_initial=tuple(tuple(r) for r in ei),
+        rc_external_final=tuple(tuple(r) for r in ef),
+        rc_internal=tuple(internal),
+    )
+
+
+def two_adic_fixture_config(log_final_poly_len: int = 2) -> StarkConfig:
+    F, E = BabyBear, BabyBearExt4
+    perm = poseidon2_baby_bear_16()
+    mmcs = MerkleTreeMmcs(
+        sponge=PaddingFreeSponge(perm, rate=8, out=8),
+        compressor=TruncatedPermutation(perm, chunk=8),
+    )
+    fri = FriParameters(
+        log_blowup=2,
+        log_final_poly_len=log_final_poly_len,
+        max_log_arity=1,
+        num_queries=2,
+        commit_proof_of_work_bits=1,
+        query_proof_of_work_bits=1,
+    )
+    pcs = TwoAdicFriPcs(
+        F=F, E=E, fri=fri, mmcs=mmcs, fri_mmcs=ExtensionMmcs(inner=mmcs, D=E.D)
+    )
+    return StarkConfig(
+        pcs=pcs,
+        challenger_factory=lambda: DuplexChallenger(perm, rate=8),
+    )

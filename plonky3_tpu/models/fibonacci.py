@@ -32,8 +32,10 @@ class FibonacciAir(BaseAir):
         first.assert_eq(local[0], a)
         first.assert_eq(local[1], bb)
         trans = b.when_transition()
-        trans.assert_eq(nxt[0], local[1])
-        trans.assert_eq(nxt[1], local[0] + local[1])
+        # operand order matches fib_air.rs:63-68 exactly — the folded
+        # constraint value (hence the quotient) is sign-sensitive
+        trans.assert_eq(local[1], nxt[0])
+        trans.assert_eq(local[0] + local[1], nxt[1])
         b.when_last_row().assert_eq(local[1], x)
 
 

@@ -17,6 +17,7 @@ from ..merkle.mmcs import MerkleTreeMmcs
 class StarkConfig:
     pcs: TwoAdicFriPcs
     challenger_kind: str = "duplex"  # "duplex" | "keccak"
+    challenger_factory: object = None  # optional () -> challenger override
 
     @property
     def F(self):
@@ -27,6 +28,8 @@ class StarkConfig:
         return self.pcs.E
 
     def initialise_challenger(self):
+        if self.challenger_factory is not None:
+            return self.challenger_factory()
         if self.challenger_kind == "keccak":
             from ..challenger.serializing import SerializingChallenger32
 
