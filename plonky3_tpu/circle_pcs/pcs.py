@@ -303,7 +303,7 @@ class CircleFriFolding:
 class CircleInputProof:
     input_openings: list  # [BatchMultiOpening] per input commitment
     first_layer_siblings: list  # [query][height-asc] ext tuples
-    first_layer_proofs: list  # [query] mmcs path
+    first_layer_proofs: list  # pruned: flat list of digests (shared)
 
 
 @dataclass
@@ -500,15 +500,15 @@ class CirclePcs:
                 )
                 # indices carry log_max bits (log_global + 1 extra bit)
                 bits_reduced = log_max - log_batch_max
-                vals, proofs = self.mmcs.open_batch_many(
+                vals, pruned = self.mmcs.open_multi_batch(
                     data, [i >> bits_reduced for i in indices]
                 )
                 input_openings.append(
                     BatchMultiOpening(
-                        opened_values=vals, opening_proofs=proofs
+                        opened_values=vals, opening_proof=pruned
                     )
                 )
-            ext_pq, fl_proofs = self.fri_mmcs.open_batch_many(
+            ext_pq, fl_proofs = self.fri_mmcs.open_multi_batch(
                 fl_data, [i >> 1 for i in indices]
             )
             fl_sibs = []
@@ -602,12 +602,12 @@ class CirclePcs:
                     dims.append((h, len(pv[0][1])))
                 log_batch_max = log2_strict(max(heights))
                 bits_reduced = log_max - log_batch_max
-                ok = self.mmcs.verify_batch_many(
+                ok = self.mmcs.verify_multi_batch(
                     commit,
                     dims,
                     [index >> bits_reduced for index in indices],
                     opening.opened_values,
-                    opening.opening_proofs,
+                    opening.opening_proof,
                 )
                 if not ok:
                     raise FriError("InputMmcsError")
@@ -720,7 +720,7 @@ class CirclePcs:
                 all_fri_inputs.append(fri_input)
                 fl_rows_by_query.append(fl_row_values)
             # authenticate every query's first-layer pair rows at once
-            ok = self.fri_mmcs.inner.verify_batch_many(
+            ok = self.fri_mmcs.inner.verify_multi_batch(
                 proof.first_layer_commitment,
                 [(h, 2 * 4) for (h, _) in fl_dims],
                 [index >> 1 for index in indices],

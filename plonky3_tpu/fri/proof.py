@@ -1,8 +1,10 @@
 """FRI proof objects (fri/src/proof.rs shapes, python-int standard form).
 
 Values are stored canonically (standard form ints; extension elements as
-D-tuples). Multi-opening path dedup (reference `open_multi_batch`,
-mmcs.rs:23-28) is TODO: paths are stored per query.
+D-tuples). Opening proofs are PRUNED multiproofs — one shared frontier-order
+sibling list per tree, exactly the reference's `PrunedMerklePaths`
+(`merkle-tree/src/pruning.rs`) — so the wire encoding is byte-compatible
+with the reference's postcard fixtures.
 """
 
 from __future__ import annotations
@@ -12,10 +14,11 @@ from dataclasses import dataclass, field
 
 @dataclass
 class BatchMultiOpening:
-    """Openings of one input commitment at every query index."""
+    """Openings of one input commitment at every query index
+    (fri/src/proof.rs BatchMultiOpening)."""
 
     opened_values: list  # [query][matrix] -> list[int] (base row values)
-    opening_proofs: list  # [query] -> list[digest tuple]
+    opening_proof: list  # pruned: flat list of digest tuples
 
 
 @dataclass
@@ -24,7 +27,7 @@ class CommitPhaseStep:
 
     log_arity: int
     sibling_values: list  # [query] -> list of (arity-1) ext tuples
-    opening_proofs: list  # [query] -> merkle path
+    opening_proof: list  # pruned: flat list of digest tuples
 
 
 @dataclass

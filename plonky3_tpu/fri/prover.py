@@ -227,7 +227,7 @@ def _answer_queries(E, fri_mmcs, log_arities, datas, start_indices):
     for log_arity, data in zip(log_arities, datas):
         arity = 1 << log_arity
         row_indices = [idx >> log_arity for idx in indices]
-        ext_pq, proofs = fri_mmcs.open_batch_many(data, row_indices)
+        ext_pq, pruned = fri_mmcs.open_multi_batch(data, row_indices)
         sibs = []
         for idx, ext_rows in zip(indices, ext_pq):
             group = ext_rows[0]  # single matrix per round
@@ -238,7 +238,7 @@ def _answer_queries(E, fri_mmcs, log_arities, datas, start_indices):
             CommitPhaseStep(
                 log_arity=log_arity,
                 sibling_values=sibs,
-                opening_proofs=proofs,
+                opening_proof=pruned,
             )
         )
     return steps

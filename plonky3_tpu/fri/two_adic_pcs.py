@@ -261,12 +261,12 @@ class TwoAdicFriPcs:
                     max(m.shape[0] for m in data.matrices)
                 )
                 bits_reduced = log_global_max_height - log_batch_max
-                vals, proofs = self.mmcs.open_batch_many(
+                vals, pruned = self.mmcs.open_multi_batch(
                     data, [i >> bits_reduced for i in indices]
                 )
                 openings.append(
                     BatchMultiOpening(
-                        opened_values=vals, opening_proofs=proofs
+                        opened_values=vals, opening_proof=pruned
                     )
                 )
             return openings

@@ -248,12 +248,12 @@ def verify_fri(
     ):
         arity = 1 << log_arity
         log_folded = log_current - log_arity
-        ok = fri_mmcs.inner.verify_batch_many(
+        ok = fri_mmcs.inner.verify_multi_batch(
             proof.commit_phase_commits[r],
             [(1 << log_folded, arity * E.D)],
             round_indices[r],
             round_groups[r],
-            [step.opening_proofs[q] for q in range(params.num_queries)],
+            step.opening_proof,
         )
         if not ok:
             raise FriError(f"CommitPhaseMmcsError round {r}")
@@ -300,12 +300,12 @@ def _open_inputs(
             width = len(points_and_values[0][1])
             dims.append((heights[m], width))
         bits_reduced = log_global_max_height - max(heights).bit_length() + 1
-        ok = input_mmcs.verify_batch_many(
+        ok = input_mmcs.verify_multi_batch(
             commit,
             dims,
             [index >> bits_reduced for index in indices],
             opening.opened_values,
-            opening.opening_proofs,
+            opening.opening_proof,
         )
         if not ok:
             raise FriError(f"InputError batch {batch}")

@@ -84,3 +84,32 @@ class ExtensionMmcs:
         ]
         base_dims = [(h, w * self.D) for (h, w) in dims]
         return self.inner.verify_batch(root_std, base_dims, index, rows, proof)
+
+    def open_multi_batch(self, data: MerkleProverData, indices):
+        """Pruned multi-opening of ext rows (one shared proof)."""
+        rows_pq, sibling_hashes = self.inner.open_multi_batch(data, indices)
+        ext_pq = []
+        for rows in rows_pq:
+            ext_rows = []
+            for row in rows:
+                assert len(row) % self.D == 0
+                ext_rows.append(
+                    [
+                        tuple(row[i : i + self.D])
+                        for i in range(0, len(row), self.D)
+                    ]
+                )
+            ext_pq.append(ext_rows)
+        return ext_pq, sibling_hashes
+
+    def verify_multi_batch(
+        self, root_std, dims, indices, ext_rows_pq, sibling_hashes
+    ) -> bool:
+        rows_pq = [
+            [[c for e in row for c in e] for row in ext_rows]
+            for ext_rows in ext_rows_pq
+        ]
+        base_dims = [(h, w * self.D) for (h, w) in dims]
+        return self.inner.verify_multi_batch(
+            root_std, base_dims, indices, rows_pq, sibling_hashes
+        )

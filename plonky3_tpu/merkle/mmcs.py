@@ -171,7 +171,8 @@ class MerkleTreeMmcs:
             idx >>= 1
         return rows, proof
 
-    def open_batch_many(self, data: MerkleProverData, indices):
+    def open_batch_many(self, data: MerkleProverData, indices,
+                        want_proofs: bool = True):
         """Open many query indices at once: ONE device gather + transfer
         per matrix (vs per-row pulls in open_batch — the host/device
         round-trips dominated the FRI query phase otherwise).
@@ -194,6 +195,15 @@ class MerkleTreeMmcs:
         # sibling digests via per-level gathers: (Q,) rows per level pulled
         # in one transfer, instead of materializing whole layers on host
         dif = data.digest_is_field
+        if not want_proofs:
+            rows_pq = [
+                [
+                    [int(x) for x in per_mat_rows[k][q].reshape(-1)]
+                    for k in range(len(data.matrices))
+                ]
+                for q in range(len(indices))
+            ]
+            return rows_pq, None
         sib_levels = []  # [level] -> (Q, digest_w) standard np
         idxs = np.array(indices, dtype=np.int64)
         for lvl in range(log_max):
@@ -313,3 +323,154 @@ class MerkleTreeMmcs:
                 tips = self.sponge.hash_iter_host(inj)
                 digest = self.compressor.compress_host(digest, tips)
         return tuple(digest) == tuple(root_std)
+
+    # ------------------------------------------------------------------
+    # Pruned multi-openings (merkle-tree/src/pruning.rs frontier walk +
+    # mmcs/batch.rs open_multi_batch:275 / verify_multi_batch:286):
+    # opening k indices shares one proof; a sibling digest is shipped only
+    # when no queried leaf lies under it. Wire order is normative:
+    # level 0 first; within a level, groups by ascending parent index;
+    # within a group, missing child positions ascending.
+    # ------------------------------------------------------------------
+    def open_multi_batch(self, data: MerkleProverData, indices):
+        """Open many indices with ONE pruned proof.
+
+        Returns (rows_per_query, sibling_hashes): rows as in
+        open_batch_many; sibling_hashes a flat list of standard-form
+        digest tuples in frontier order."""
+        rows_pq, _ = self.open_batch_many(data, indices, want_proofs=False)
+        F = self.F
+        max_h = data.layers[0].shape[0]
+        log_max = log2_strict(max_h)
+        dif = data.digest_is_field
+
+        # boundary node positions per level (host walk, tiny)
+        frontier = sorted(set(int(i) for i in indices))
+        want = []  # (level, node) to ship
+        for lvl in range(log_max):
+            present = set(frontier)
+            for node in frontier:
+                if node ^ 1 not in present:
+                    want.append((lvl, node ^ 1))
+            frontier = sorted({node >> 1 for node in frontier})
+
+        # gather the digests (grouped per level: one pull per level)
+        sibling_hashes = []
+        by_level = {}
+        for lvl, node in want:
+            by_level.setdefault(lvl, []).append(node)
+        pulled = {}
+        for lvl, nodes in by_level.items():
+            layer = data.layers[lvl]
+            idx = np.array(nodes, dtype=np.int32)
+            if isinstance(layer, np.ndarray):
+                digs = layer[idx]
+            else:
+                digs = np.asarray(layer[jnp.asarray(idx)])
+            if dif:
+                digs = F.from_monty_np(digs)
+            pulled[lvl] = {n: tuple(int(x) for x in d) for n, d in zip(nodes, digs)}
+        for lvl, node in want:
+            sibling_hashes.append(pulled[lvl][node])
+        return rows_pq, sibling_hashes
+
+    def verify_multi_batch(
+        self, root_std, dims, indices, rows_pq, sibling_hashes
+    ) -> bool:
+        """Verify a pruned multi-opening (verify_multi_batch semantics).
+
+        All hashing is batched per level across the frontier. Duplicate
+        queries must supply identical rows. Consumes sibling_hashes
+        exactly (trailing digests are rejected)."""
+        Q = len(indices)
+        if len(rows_pq) != Q:
+            return False
+        heights = [d[0] for d in dims]
+        max_h = max(heights)
+        log_max = log2_strict(max_h)
+        order = sorted(range(len(dims)), key=lambda i: -heights[i])
+        for rows in rows_pq:
+            if len(rows) != len(dims):
+                return False
+            for i, d in enumerate(dims):
+                if len(rows[i]) != d[1]:
+                    return False
+
+        to_m = self.F.to_monty_np
+        dif = getattr(self.sponge, "digest_is_field", True)
+
+        def tips_for(h, leads):
+            """Hash the height-h matrices' rows for the lead queries."""
+            parts = [
+                np.array([rows_pq[q][i] for q in leads], dtype=np.uint32)
+                for i in order
+                if heights[i] == h
+            ]
+            if not parts:
+                return None
+            return self.sponge.hash_rows_np([to_m(np.concatenate(parts, axis=1))])
+
+        # frontier: node -> (digest ndarray, lead query)
+        lead_for = {}
+        for q, idx in enumerate(indices):
+            node = int(idx)
+            if node not in lead_for:
+                lead_for[node] = q
+            else:
+                # duplicate index: rows must agree
+                if rows_pq[q] != rows_pq[lead_for[node]]:
+                    return False
+        nodes = sorted(lead_for)
+        leads = [lead_for[n] for n in nodes]
+        digests = tips_for(max_h, leads)  # (n_nodes, dw) monty/raw
+
+        sib_iter = iter(sibling_hashes)
+        consumed = 0
+        h = max_h
+        for lvl in range(log_max):
+            h //= 2
+            node_set = set(nodes)
+            left_rows, right_rows = [], []
+            parents = []
+            try:
+                pos = {n: i for i, n in enumerate(nodes)}
+                for n in nodes:
+                    if n & 1:
+                        if (n ^ 1) in node_set:
+                            continue  # handled by the even sibling
+                        sib = np.asarray(next(sib_iter), dtype=np.uint32)
+                        consumed += 1
+                        left_rows.append(to_m(sib) if dif else sib)
+                        right_rows.append(digests[pos[n]])
+                        parents.append(n >> 1)
+                    else:
+                        left_rows.append(digests[pos[n]])
+                        if (n ^ 1) in node_set:
+                            right_rows.append(digests[pos[n ^ 1]])
+                        else:
+                            sib = np.asarray(next(sib_iter), dtype=np.uint32)
+                            consumed += 1
+                            right_rows.append(to_m(sib) if dif else sib)
+                        parents.append(n >> 1)
+            except StopIteration:
+                return False
+            digests = self.compressor.compress_np(
+                np.stack(left_rows), np.stack(right_rows)
+            )
+            new_lead = {}
+            for n in nodes:
+                p = n >> 1
+                if p not in new_lead:
+                    new_lead[p] = lead_for[n]
+            nodes = sorted(new_lead)
+            lead_for = new_lead
+            leads = [lead_for[n] for n in nodes]
+            tips = tips_for(h, leads)
+            if tips is not None:
+                digests = self.compressor.compress_np(digests, tips)
+        if consumed != len(sibling_hashes):
+            return False
+        if dif:
+            digests = self.F.from_monty_np(digests)
+        want = np.array(root_std, dtype=np.uint32)
+        return bool((digests[0] == want).all())
