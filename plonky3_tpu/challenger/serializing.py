@@ -25,8 +25,12 @@ from ..hashes.keccak import keccak256, keccak256_np_batch
 
 
 class SerializingChallenger32:
-    def __init__(self, F):
+    def __init__(self, F, digest_bytes: bool = False):
         self.F = F
+        # digest_bytes: commitments are [u8; 32] keccak digests (the circle
+        # fixture config) observed one raw byte each, vs u64-word digests
+        # observed as 4-byte LE u32 lanes (the KeccakF benchmark config).
+        self.digest_bytes = digest_bytes
         self.input_buffer = bytearray()
         self.output_buffer = []  # list of ints (bytes); pop from end
 
@@ -46,10 +50,16 @@ class SerializingChallenger32:
             self.observe(int(c))
 
     def observe_digest(self, values):
-        """Keccak Merkle roots: 8 raw u32 words = 4 u64s, LE bytes."""
+        """Keccak Merkle roots: [u8;32] raw bytes, or 8 u32 words (= 4
+        u64s) as LE bytes, per the config's digest type."""
         self.output_buffer.clear()
-        for v in values:
-            self.input_buffer += (int(v) & 0xFFFFFFFF).to_bytes(4, "little")
+        if self.digest_bytes:
+            self.input_buffer += bytes(int(v) & 0xFF for v in values)
+        else:
+            for v in values:
+                self.input_buffer += (int(v) & 0xFFFFFFFF).to_bytes(
+                    4, "little"
+                )
 
     # -- sampling ---------------------------------------------------------
     def _flush(self):

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..fields.mersenne31 import Mersenne31 as F
-from ..fields.qm31 import QM31 as E
+from ..fields.qm31 import QM31
 from ..fri.config import FriParameters
 from ..fri.proof import BatchMultiOpening, FriProof
 from ..fri.prover import prove_fri
@@ -52,14 +52,14 @@ _INV2 = pow(2, _P - 2, _P)
 # ---------------------------------------------------------------------------
 # extension-field circle points (host; coords are QM31 tuples)
 # ---------------------------------------------------------------------------
-def ept_add(a, b):
+def ept_add(E, a, b):
     return (
         E.sub_h(E.mul_h(a[0], b[0]), E.mul_h(a[1], b[1])),
         E.add_h(E.mul_h(a[0], b[1]), E.mul_h(a[1], b[0])),
     )
 
 
-def ept_from_projective_line(t):
+def ept_from_projective_line(E, t):
     """Point::from_projective_line (point.rs:40)."""
     t2 = E.mul_h(t, t)
     inv_denom = E.inv_h(E.add_h(E.one_h(), t2))
@@ -68,7 +68,7 @@ def ept_from_projective_line(t):
     return (x, y)
 
 
-def ept_v_n(x, log_n: int):
+def ept_v_n(E, x, log_n: int):
     for _ in range(log_n - 1):
         x = E.sub_h(E.add_h(E.mul_h(x, x), E.mul_h(x, x)), E.one_h())
     return x
@@ -130,8 +130,8 @@ def _s_p_values(log_h: int, log_sub: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # device kernels
 # ---------------------------------------------------------------------------
-@jax.jit
-def _lagrange_den_kernel(px, py, s_p, zx, zy):
+@partial(jax.jit, static_argnames=("E",))
+def _lagrange_den_kernel(E, px, py, s_p, zx, zy):
     """(ṽ_P(zeta)·s_p)^{-1} per cfft-ordered point (point.rs:128).
 
     diff = zeta - p: diff.x = zx·px + zy·py, diff.y = zy·px - zx·py.
@@ -144,29 +144,29 @@ def _lagrange_den_kernel(px, py, s_p, zx, zy):
     return E.mul(numer, E.inv(denom))
 
 
-@jax.jit
-def _ys_kernel_circle(mat, dens, num):
+@partial(jax.jit, static_argnames=("E",))
+def _ys_kernel_circle(E, mat, dens, num):
     """ys_j = (Σ_i den_i · M[i,j]) · v_H(zeta)  (cfft.rs:137-151)."""
     comps = [
-        F.sum(F.mul(dens[:, d : d + 1], mat), axis=0) for d in range(4)
+        F.sum(F.mul(dens[:, d : d + 1], mat), axis=0) for d in range(E.D)
     ]
     return E.mul(jnp.stack(comps, axis=-1), num)
 
 
-@jax.jit
-def _alpha_reduce_kernel(mat, alpha_pows):
+@partial(jax.jit, static_argnames=("E",))
+def _alpha_reduce_kernel(E, mat, alpha_pows):
     """r_i = Σ_j alpha^j·M[i, j] (deep_quotient.rs rowwise_alpha_reduce)."""
     return jnp.stack(
         [
             F.sum(F.mul(mat, alpha_pows[None, :, d]), axis=1)
-            for d in range(4)
+            for d in range(E.D)
         ],
         axis=-1,
     )
 
 
-@jax.jit
-def _vanishing_parts_kernel(px, py, zx, zy):
+@partial(jax.jit, static_argnames=("E",))
+def _vanishing_parts_kernel(E, px, py, zx, zy):
     """v_p(zeta) = (1 - diff.x, -diff.y), diff = p - zeta (point.rs:119:
     `-at + self`), plus inverse squared magnitude.
 
@@ -180,8 +180,8 @@ def _vanishing_parts_kernel(px, py, zx, zy):
     return re, im, E.inv(denom)
 
 
-@jax.jit
-def _accumulate_kernel(ro, alpha_off, alpha_pw, re, im, denom_inv,
+@partial(jax.jit, static_argnames=("E",))
+def _accumulate_kernel(E, ro, alpha_off, alpha_pw, re, im, denom_inv,
                        reduced_rows, c):
     """ro += alpha_off·(re - α^W·im)·denom_inv·(r - c)."""
     vp = E.sub(re, E.mul(im, alpha_pw))
@@ -189,11 +189,11 @@ def _accumulate_kernel(ro, alpha_off, alpha_pw, re, im, denom_inv,
     return E.add(ro, E.mul(term, alpha_off))
 
 
-@partial(jax.jit, static_argnames=("log_blowup",))
-def _extract_lambda_kernel(ro, v_d, log_blowup):
+@partial(jax.jit, static_argnames=("E", "log_blowup"))
+def _extract_lambda_kernel(E, ro, v_d, log_blowup):
     """deep_quotient.rs:228: lambda = <ro, v_d>/2^(log-1); ro -= λ·v_d."""
     log_h = log2_strict(ro.shape[0])
-    comps = [F.sum(F.mul(ro[:, d], v_d), axis=0) for d in range(4)]
+    comps = [F.sum(F.mul(ro[:, d], v_d), axis=0) for d in range(E.D)]
     lam = jnp.stack(comps, axis=-1)
     inv = F.const(pow(pow(2, log_h - 1, _P), _P - 2, _P))
     lam = F.mul(lam, inv)
@@ -201,8 +201,8 @@ def _extract_lambda_kernel(ro, v_d, log_blowup):
     return ro, lam
 
 
-@partial(jax.jit, static_argnames=("log_h",))
-def _fold_kernel(mat2, beta, inv_tw, log_h):
+@partial(jax.jit, static_argnames=("E", "log_h"))
+def _fold_kernel(E, mat2, beta, inv_tw, log_h):
     """((lo+hi) + β·(lo-hi)·t)/2 rowwise (folding.rs:54-85)."""
     lo, hi = mat2[:, 0], mat2[:, 1]
     s = E.add(lo, hi)
@@ -268,14 +268,20 @@ class CircleFriFolding:
     """FriFoldingStrategy for the circle group (folding.rs:28-52)."""
 
     extra_query_index_bits = 1
+    observe_arity_schedule = False  # circle/src/prover.rs: fixed arity 2
+    scale_roll_in = False  # circle/src/prover.rs:162: `*c += x`, unscaled
+
+    def __init__(self, E):
+        self.E = E
 
     def fold_matrix(self, folded, beta, log_arity):
+        E = self.E
         assert log_arity == 1, "circle FRI supports arity 2 only"
         h = folded.shape[0]
         log_n = log2_strict(h)
         inv_tw = _x_twiddles_inv(log_n + 1)
         beta_m = E.to_monty_np(beta)
-        m2 = folded.reshape(h // 2, 2, 4)
+        m2 = folded.reshape(h // 2, 2, E.D)
         if isinstance(folded, np.ndarray):
             lo, hi = m2[:, 0], m2[:, 1]
             s = E.add_np(lo, hi)
@@ -283,11 +289,12 @@ class CircleFriFolding:
             half = np.uint32(_INV2)
             return F.mul_np(E.add_np(s, d), half)
         return _fold_kernel(
-            m2, jnp.asarray(beta_m), jnp.asarray(inv_tw), log_n
+            E, m2, jnp.asarray(beta_m), jnp.asarray(inv_tw), log_n
         )
 
     def fold_row(self, Ex, index, log_folded, log_arity, beta, group):
         """Verifier-side x-fold (folding.rs fold_x_row)."""
+        E = self.E
         assert log_arity == 1
         dom = CircleDomain.standard(log_folded + 2)
         k = reverse_bits_len(index, log_folded)
@@ -318,6 +325,7 @@ class CirclePcs:
     fri: FriParameters
     mmcs: object  # input MMCS (base field)
     fri_mmcs: object  # ExtensionMmcs for first layer + commit phase
+    ext: object = QM31  # challenge extension field (QM31 or M31 cubic)
 
     @property
     def F(self):
@@ -325,7 +333,7 @@ class CirclePcs:
 
     @property
     def E(self):
-        return E
+        return self.ext
 
     def natural_domain_for_degree(self, degree: int) -> CircleDomain:
         return CircleDomain.standard(log2_strict(degree))
@@ -366,9 +374,10 @@ class CirclePcs:
     # ------------------------------------------------------------------
     def open(self, data_with_points, challenger, spans=None):
         """data_with_points: [(data, [[zeta_uni per matrix]])]; zeta_uni
-        are projective-line QM31 tuples. Returns (opened_values, proof)."""
+        are projective-line ext tuples. Returns (opened_values, proof)."""
+        E = self.ext
         # --- claimed evaluations via Lagrange over the sub prefix ---
-        lagrange_dens: dict = {}  # (log_h, zeta) -> device (sub_h, 4)
+        lagrange_dens: dict = {}  # (log_h, zeta) -> device (sub_h, D)
         opened_values = []
         for data, points in data_with_points:
             round_vals = []
@@ -382,9 +391,10 @@ class CirclePcs:
                 for zeta_uni in pts:
                     key = (log_h, zeta_uni)
                     den = lagrange_dens.get(key)
-                    zeta = ept_from_projective_line(zeta_uni)
+                    zeta = ept_from_projective_line(E, zeta_uni)
                     if den is None:
                         den = _lagrange_den_kernel(
+                            E,
                             jnp.asarray(dd["px"][:sub_h]),
                             jnp.asarray(dd["py"][:sub_h]),
                             jnp.asarray(_s_p_values(log_h, log_sub)),
@@ -394,11 +404,12 @@ class CirclePcs:
                         lagrange_dens[key] = den
                     # lagrange_num = v_n(zeta) - v_n(sub_shift), log_sub
                     num = E.sub_h(
-                        ept_v_n(zeta[0], log_sub),
+                        ept_v_n(E, zeta[0], log_sub),
                         E.from_base_h(pt_v_n(sub_shift[0], log_sub)),
                     )
                     ys_dev = _ys_kernel_circle(
-                        mat[:sub_h], den, jnp.asarray(E.to_monty_np(num))
+                        E, mat[:sub_h], den,
+                        jnp.asarray(E.to_monty_np(num)),
                     )
                     ys = [
                         tuple(int(c) for c in row)
@@ -410,7 +421,7 @@ class CirclePcs:
                 round_vals.append(mat_vals)
             opened_values.append(round_vals)
 
-        alpha = challenger.sample_ext(4)
+        alpha = challenger.sample_ext(E.D)
 
         # --- DEEP quotient accumulation per height (pcs.rs:330-440) ---
         reduced: dict = {}  # log_h -> (alpha_offset ext, device (h,4))
@@ -426,19 +437,20 @@ class CirclePcs:
                 w = mat.shape[1]
                 dd = _domain_data(log_h)
                 off, ro = reduced.setdefault(
-                    log_h, (E.one_h(), jnp.zeros((h, 4), jnp.uint32))
+                    log_h, (E.one_h(), jnp.zeros((h, E.D), jnp.uint32))
                 )
                 alpha_pows = E.powers_np(alpha, w)
                 reduced_rows = _alpha_reduce_kernel(
-                    mat, jnp.asarray(alpha_pows)
+                    E, mat, jnp.asarray(alpha_pows)
                 )
                 alpha_pw = E.exp_h(alpha, w)
                 for zeta_uni, ys in zip(pts, mat_vals):
-                    zeta = ept_from_projective_line(zeta_uni)
+                    zeta = ept_from_projective_line(E, zeta_uni)
                     key = (log_h, zeta_uni)
                     vp = vparts.get(key)
                     if vp is None:
                         vp = _vanishing_parts_kernel(
+                            E,
                             jnp.asarray(dd["px"]),
                             jnp.asarray(dd["py"]),
                             jnp.asarray(E.to_monty_np(zeta[0])),
@@ -452,6 +464,7 @@ class CirclePcs:
                         ap = E.mul_h(ap, alpha)
                     off, ro = reduced[log_h]
                     ro = _accumulate_kernel(
+                        E,
                         ro,
                         jnp.asarray(E.to_monty_np(off)),
                         jnp.asarray(E.to_monty_np(alpha_pw)),
@@ -467,15 +480,15 @@ class CirclePcs:
         for log_h in sorted(reduced.keys()):
             _, ro = reduced[log_h]
             v_d = jnp.asarray(_v_d_array(log_h, self.fri.log_blowup))
-            ro, lam = _extract_lambda_kernel(ro, v_d, self.fri.log_blowup)
+            ro, lam = _extract_lambda_kernel(E, ro, v_d, self.fri.log_blowup)
             lambdas.append(tuple(int(x) for x in np.asarray(lam)))
             log_heights.append(log_h)
-            fl_mats.append(ro.reshape(1 << (log_h - 1), 2, 4))
+            fl_mats.append(ro.reshape(1 << (log_h - 1), 2, E.D))
         log_max = max(log_heights)
 
         fl_data = self.fri_mmcs.commit_ext_matrices(fl_mats)
         challenger.observe_digest(fl_data.root_std)
-        bivariate_beta = challenger.sample_ext(4)
+        bivariate_beta = challenger.sample_ext(E.D)
 
         # fold_y each first layer, tallest first for FRI
         fri_input = []
@@ -485,12 +498,12 @@ class CirclePcs:
             inv_tw = jnp.asarray(_y_twiddles_inv(log_h))
             fri_input.append(
                 _fold_kernel(
-                    m, jnp.asarray(E.to_monty_np(bivariate_beta)),
+                    E, m, jnp.asarray(E.to_monty_np(bivariate_beta)),
                     inv_tw, log_h,
                 )
             )
 
-        folding = CircleFriFolding()
+        folding = CircleFriFolding(E)
 
         def open_input_fn(indices):
             input_openings = []
@@ -546,15 +559,16 @@ class CirclePcs:
     # ------------------------------------------------------------------
     def verify(self, commitments_with_opening_points, proof, challenger):
         """[(root, [(CircleDomain, [(zeta_uni, ys)])])] (pcs.rs:550)."""
+        E = self.ext
         for _, mats in commitments_with_opening_points:
             for _, pv in mats:
                 for _, ys in pv:
                     for y in ys:
                         challenger.observe_ext(y)
 
-        alpha = challenger.sample_ext(4)
+        alpha = challenger.sample_ext(E.D)
         challenger.observe_digest(proof.first_layer_commitment)
-        bivariate_beta = challenger.sample_ext(4)
+        bivariate_beta = challenger.sample_ext(E.D)
 
         # ascending committed heights (for lambdas / first-layer rows)
         log_heights = sorted(
@@ -642,7 +656,7 @@ class CirclePcs:
                         for zeta_uni, ps_at_zeta in pv:
                             if len(ps_at_zeta) != w:
                                 raise FriError("InputShapeError")
-                            zeta = ept_from_projective_line(zeta_uni)
+                            zeta = ept_from_projective_line(E, zeta_uni)
                             # v_p(zeta) at x: diff = x - zeta
                             dx = E.add_h(
                                 E.base_mul_h(x[0], zeta[0]),
@@ -722,7 +736,7 @@ class CirclePcs:
             # authenticate every query's first-layer pair rows at once
             ok = self.fri_mmcs.inner.verify_multi_batch(
                 proof.first_layer_commitment,
-                [(h, 2 * 4) for (h, _) in fl_dims],
+                [(h, 2 * E.D) for (h, _) in fl_dims],
                 [index >> 1 for index in indices],
                 fl_rows_by_query,
                 ip.first_layer_proofs,
@@ -739,7 +753,7 @@ class CirclePcs:
             None,
             self.mmcs,
             self.fri_mmcs,
-            folding=CircleFriFolding(),
+            folding=CircleFriFolding(E),
             open_inputs_fn=open_inputs_fn,
             alpha=alpha,
             check_global_height=False,

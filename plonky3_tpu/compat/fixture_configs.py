@@ -67,3 +67,42 @@ def two_adic_fixture_config(log_final_poly_len: int = 2) -> StarkConfig:
         pcs=pcs,
         challenger_factory=lambda: DuplexChallenger(perm, rate=8),
     )
+
+
+def circle_fixture_config():
+    """The circle golden-fixture config (fib_air.rs:200-233):
+    Mersenne31 + cubic extension, Keccak256 byte digests,
+    SerializingChallenger32, FRI {log_blowup:1, final_poly_len:0,
+    max_log_arity:1, num_queries:40, commit_pow:0, query_pow:8}."""
+    from ..challenger.serializing import SerializingChallenger32
+    from ..circle_pcs import CirclePcs
+    from ..fields.mersenne31 import Mersenne31, M31Ext3
+    from ..hashes.keccak256_mmcs import (
+        Keccak256Compressor,
+        Keccak256FieldHasher,
+    )
+
+    mmcs = MerkleTreeMmcs(
+        sponge=Keccak256FieldHasher(Mersenne31),
+        compressor=Keccak256Compressor(),
+    )
+    fri = FriParameters(
+        log_blowup=1,
+        log_final_poly_len=0,
+        max_log_arity=1,
+        num_queries=40,
+        commit_proof_of_work_bits=0,
+        query_proof_of_work_bits=8,
+    )
+    pcs = CirclePcs(
+        fri=fri,
+        mmcs=mmcs,
+        fri_mmcs=ExtensionMmcs(inner=mmcs, D=M31Ext3.D),
+        ext=M31Ext3,
+    )
+    return StarkConfig(
+        pcs=pcs,
+        challenger_factory=lambda: SerializingChallenger32(
+            Mersenne31, digest_bytes=True
+        ),
+    )

@@ -242,3 +242,22 @@ CIRCLE_TWO_ADIC_GENERATORS = (
     (509778402, 800467507),
     (311014874, 1584694829),
 )
+
+
+def m31_cubic_extension():
+    """The M31 cubic binomial extension F[X]/(X³−5)
+    (`mersenne-31/src/extension.rs:21-38`: W=5, DTH_ROOT=1513477735,
+    EXT_GENERATOR=[10,1,0]) — the circle-fixture challenge field."""
+    from .extension import BinomialExtension
+
+    return BinomialExtension(
+        base=Mersenne31,
+        D=3,
+        W=5,
+        DTH_ROOT=1513477735,
+        EXT_GENERATOR=(10, 1, 0),
+        EXT_TWO_ADICITY=1,
+    )
+
+
+M31Ext3 = m31_cubic_extension()

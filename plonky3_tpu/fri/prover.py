@@ -94,6 +94,15 @@ class TwoAdicFriFolding:
     arity-2^k folds of bit-reversed codewords over two-adic cosets."""
 
     extra_query_index_bits = 0
+    # the two-adic FRI binds the (variable) arity schedule into the
+    # transcript (fri/src/prover.rs:103); circle FRI has fixed arity 2 and
+    # does not (circle/src/prover.rs has no such observe)
+    observe_arity_schedule = True
+    # two-adic FRI scales each rolled-in reduced opening by beta^arity
+    # (fri/src/prover.rs:258-265); circle FRI adds unscaled — its DEEP
+    # quotients already carry per-height alpha offsets
+    # (circle/src/prover.rs:162: `*c += x`)
+    scale_roll_in = True
 
     def __init__(self, E):
         self.E = E
@@ -163,9 +172,12 @@ def prove_fri(
 
         if rest and rest[0].shape[0] == folded.shape[0]:
             nxt = rest.pop(0)
-            beta_pow = beta
-            for _ in range(log_arity):
-                beta_pow = E.mul_h(beta_pow, beta_pow)
+            if getattr(folding, "scale_roll_in", True):
+                beta_pow = beta
+                for _ in range(log_arity):
+                    beta_pow = E.mul_h(beta_pow, beta_pow)
+            else:
+                beta_pow = E.one_h()
             if isinstance(folded, np.ndarray):
                 folded = F.add_np(
                     folded,
@@ -190,9 +202,10 @@ def prove_fri(
     for coeff in final_poly:
         challenger.observe_ext(coeff)
 
-    # bind the arity schedule (prover.rs:103)
-    for la in log_arities:
-        challenger.observe(la)
+    # bind the arity schedule (prover.rs:103; two-adic only)
+    if getattr(folding, "observe_arity_schedule", True):
+        for la in log_arities:
+            challenger.observe(la)
 
     # query phase
     _mark("fri: final poly")

@@ -73,6 +73,8 @@ class TwoAdicRowFolding:
     """Verifier-side default folding (two_adic_pcs.rs fold_row)."""
 
     extra_query_index_bits = 0
+    observe_arity_schedule = True
+    scale_roll_in = True
 
     def fold_row(self, E, index, log_folded, log_arity, beta, group):
         return fold_row_host(E, index, log_folded, log_arity, beta, group)
@@ -154,8 +156,9 @@ def verify_fri(
         raise FriError("FinalPolyLengthMismatch")
     for coeff in proof.final_poly:
         challenger.observe_ext(coeff)
-    for la in log_arities:
-        challenger.observe(la)
+    if getattr(folding, "observe_arity_schedule", True):
+        for la in log_arities:
+            challenger.observe(la)
     if not challenger.check_witness(
         params.query_proof_of_work_bits, proof.query_pow_witness
     ):
@@ -214,12 +217,15 @@ def verify_fri(
             round_indices[r].append(domain_index)
             log_current = log_folded
             if ro_iter and ro_iter[0][0] == log_folded:
-                beta_pow = beta
-                for _ in range(log_arity):
-                    beta_pow = E.mul_h(beta_pow, beta_pow)
-                folded_eval = E.add_h(
-                    folded_eval, E.mul_h(beta_pow, ro_iter.pop(0)[1])
-                )
+                if getattr(folding, "scale_roll_in", True):
+                    beta_pow = beta
+                    for _ in range(log_arity):
+                        beta_pow = E.mul_h(beta_pow, beta_pow)
+                    folded_eval = E.add_h(
+                        folded_eval, E.mul_h(beta_pow, ro_iter.pop(0)[1])
+                    )
+                else:
+                    folded_eval = E.add_h(folded_eval, ro_iter.pop(0)[1])
         if log_current != log_final_height:
             raise FriError("FinalFoldHeightMismatch")
         if ro_iter:

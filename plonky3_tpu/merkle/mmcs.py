@@ -131,6 +131,9 @@ class MerkleTreeMmcs:
         mats = list(mats)
         for m in mats:
             log2_strict(m.shape[0])
+        if getattr(self.sponge, "host_only", False):
+            mats = [np.asarray(m) for m in mats]
+            jit_tree = "np"
         if jit_tree == "np":
             layers = _build_layers_np(self, mats)
         else:

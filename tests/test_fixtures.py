@@ -69,3 +69,56 @@ def test_prover_reproduces_fixture_bytes():
     got = encode_our_proof(proof, F, TWO_ADIC_SPEC)
     want = open(FIXTURE_TWO_ADIC, "rb").read()
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Circle fixture (uni_stark_circle_v1.postcard: M31 + cubic ext + keccak256)
+# ---------------------------------------------------------------------------
+from plonky3_tpu.compat.fixture_configs import FIXTURE_CIRCLE, circle_fixture_config
+from plonky3_tpu.compat.uni_stark_wire import (
+    circle_proof_to_wire,
+    circle_wire_to_proof,
+)
+from plonky3_tpu.fields.mersenne31 import Mersenne31
+from plonky3_tpu.serde.proof_codec import CIRCLE_SPEC
+
+requires_circle_fixture = pytest.mark.skipif(
+    not os.path.exists(FIXTURE_CIRCLE), reason="reference fixture absent"
+)
+
+
+@requires_circle_fixture
+def test_codec_roundtrip_circle():
+    data = open(FIXTURE_CIRCLE, "rb").read()
+    assert encode_proof(decode_proof(data, CIRCLE_SPEC), CIRCLE_SPEC) == data
+
+
+@requires_circle_fixture
+def test_circle_reference_proof_verifies():
+    data = open(FIXTURE_CIRCLE, "rb").read()
+    proof = circle_wire_to_proof(decode_proof(data, CIRCLE_SPEC))
+    cfg = circle_fixture_config()
+    verify(cfg, FibonacciAir(Mersenne31), proof, [0, 1, 21])
+
+
+@requires_circle_fixture
+def test_circle_reference_proof_tamper_rejected():
+    data = open(FIXTURE_CIRCLE, "rb").read()
+    proof = circle_wire_to_proof(decode_proof(data, CIRCLE_SPEC))
+    cfg = circle_fixture_config()
+    lam = list(proof.opening_proof.lambdas)
+    lam[0] = tuple((c + 1) % Mersenne31.P for c in lam[0])
+    proof.opening_proof.lambdas = lam
+    with pytest.raises(VerificationError):
+        verify(cfg, FibonacciAir(Mersenne31), proof, [0, 1, 21])
+
+
+@requires_circle_fixture
+def test_circle_prover_reproduces_fixture_bytes():
+    cfg = circle_fixture_config()
+    air = FibonacciAir(Mersenne31)
+    trace_std, publics = generate_fibonacci_trace(Mersenne31, 3)
+    proof = prove(cfg, air, jnp.asarray(trace_std.astype(np.uint32)), publics)
+    got = encode_proof(circle_proof_to_wire(proof), CIRCLE_SPEC)
+    want = open(FIXTURE_CIRCLE, "rb").read()
+    assert got == want
