@@ -82,6 +82,13 @@ class TwoAdicCoset:
         sp = E.base_mul_h(self.F.inv_h(self.shift), point)
         return E.sub_h(E.exp_h(sp, self.size), E.one_h())
 
+    def vanishing_poly_at_point_h(self, point: int) -> int:
+        """Z_{gH}(x) = (x/g)^|H| − 1 for a base-field point (host)."""
+        F = self.F
+        return F.sub_h(
+            F.exp_h(F.mul_h(F.inv_h(self.shift), point), self.size), 1
+        )
+
     def selectors_at_point_ext(self, E: BinomialExtension, point):
         sp = E.base_mul_h(self.F.inv_h(self.shift), point)
         z_h = E.sub_h(E.exp_h(sp, self.size), E.one_h())

@@ -83,6 +83,15 @@ def _accum_kernel(E, acc, mred_z_m, mat_compressed, inv_denom, alpha_off_m):
     return E.add(acc, E.mul(E.mul(diff, inv_denom), alpha_off_m))
 
 
+def _poly_mats(data):
+    """Committed matrices with hiding salts stripped (salt columns are
+    leaf blinding, not polynomial data — hiding_mmcs.rs semantics)."""
+    salt = getattr(data, "salt_elems", 0)
+    if not salt:
+        return data.matrices
+    return [m[:, : m.shape[1] - salt] for m in data.matrices]
+
+
 @dataclass(frozen=True)
 class TwoAdicFriPcs:
     F: object  # Monty31
@@ -155,7 +164,7 @@ class TwoAdicFriPcs:
         all_mats = [
             (rnd, i, mat)
             for rnd, (data, _) in enumerate(data_with_points)
-            for i, mat in enumerate(data.matrices)
+            for i, mat in enumerate(_poly_mats(data))
         ]
         log_global_max_height = max(
             log2_strict(m.shape[0]) for _, _, m in all_mats
@@ -175,7 +184,7 @@ class TwoAdicFriPcs:
         # 1/(z - x) per unique opening point, at its max needed height
         max_h_for_point = {}
         for data, points in data_with_points:
-            for mat, pts in zip(data.matrices, points):
+            for mat, pts in zip(_poly_mats(data), points):
                 for z in pts:
                     h = mat.shape[0]
                     max_h_for_point[z] = max(max_h_for_point.get(z, 0), h)
@@ -188,7 +197,7 @@ class TwoAdicFriPcs:
         opened_values = []
         for data, points in data_with_points:
             round_vals = []
-            for mat, pts in zip(data.matrices, points):
+            for mat, pts in zip(_poly_mats(data), points):
                 h = mat.shape[0]
                 n_std = h  # coset size
                 mat_vals = []
@@ -219,7 +228,7 @@ class TwoAdicFriPcs:
         reduced = {}  # log_h -> (h, D) device ext accumulator
         num_reduced = {}  # log_h -> count of (col, point) pairs folded in
         for (data, points), round_vals in zip(data_with_points, opened_values):
-            for mat, pts, mat_vals in zip(data.matrices, points, round_vals):
+            for mat, pts, mat_vals in zip(_poly_mats(data), points, round_vals):
                 h = mat.shape[0]
                 log_h = log2_strict(h)
                 w = mat.shape[1]

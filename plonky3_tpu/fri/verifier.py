@@ -346,8 +346,12 @@ def _open_inputs(
                 [opening.opened_values[q][m] for q in range(Q)],
                 dtype=np.uint64,
             )
-            if rows.shape[1] != w:
+            if rows.shape[1] < w:
                 raise FriError("PointEvaluationCountMismatch")
+            # hiding MMCS rows carry trailing leaf salts — polynomial
+            # data is the width the claimed values bind (mmcs checks the
+            # salted width)
+            rows = rows[:, :w]
             # query points x_q = GENERATOR * g^rev(idx)
             g = F.two_adic_generator_h(log_height)
             xs = [

@@ -1,0 +1,378 @@
+"""Multilinear (SuperSpartan-style) STARK over the WHIR PCS.
+
+Behavioral model: `multi-stark/src/prover.rs:59` (phases doc :20-39),
+`zerocheck.rs:121,217`, `keys.rs:30`, `rounds.rs` — zerocheck via sumcheck
+over the hypercube, then multilinear PCS openings at the bound point. The
+reference's rotation machinery (rounds.rs) is realized here as two
+explicit reductions:
+
+  1. zerocheck (multilinear/sumcheck.py) binds the row variables to r'
+     and claims openings {T_j(r'), T_j_next(r')} per column.
+  2. SHIFT REDUCTION: T_next is the cyclic-rotation of T, so
+     T_j_next(r') = Σ_y S(r', y)·T_j(y) with S the MLE of the cyclic
+     increment permutation (closed O(n²) form — carry-chain expansion).
+     One δ-batched sumcheck over y reduces all next-claims to
+     local-claims {T_j(u')} at a fresh point u'.
+  3. COLUMN BINDING: the trace is committed as ONE stacked MLE with the
+     column index in the HIGH variables, so T_j(p) = stacked(p, bits(j)).
+     A γ-batched sumcheck over the log(w) column variables reduces the w
+     per-column claims at p to a single opening stacked(p, q).
+
+Each of r' ∈ {zerocheck point, shift point} then needs exactly ONE WHIR
+opening of the committed trace MLE.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..air.api import _make_builder, get_symbolic_layout
+from ..air.builder import VerifierBackend
+from ..utils.bits import log2_strict
+from .sumcheck import (
+    SumcheckProof,
+    _lagrange_at,
+    prove_zerocheck,
+    verify_zerocheck,
+)
+from .whir import (
+    WhirPcs,
+    WhirProof,
+    eq_factor,
+    eval_multilinear_coeffs,
+    evals_to_coeffs_np,
+)
+
+
+class MultiStarkError(Exception):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# the cyclic-increment MLE S(x, y) = eq(y, x + 1 mod 2^n)
+# ---------------------------------------------------------------------------
+def shift_kernel_at(E, x: list, y: list):
+    """S(x, y) for fixed ext points, O(n²): increment flips a trailing
+    run of ones to zeros and the first zero to one; plus the wrap term."""
+    n = len(x)
+    one = E.one_h()
+    total = E.zero_h()
+    for i in range(n):
+        term = one
+        for l in range(i):  # trailing ones -> zeros
+            term = E.mul_h(
+                term, E.mul_h(x[l], E.sub_h(one, y[l]))
+            )
+        term = E.mul_h(
+            term, E.mul_h(E.sub_h(one, x[i]), y[i])
+        )  # first zero -> one
+        for l in range(i + 1, n):  # higher bits unchanged
+            term = E.mul_h(term, eq_factor(E, [x[l]], [y[l]]))
+        total = E.add_h(total, term)
+    wrap = one
+    for l in range(n):  # all-ones -> all-zeros
+        wrap = E.mul_h(wrap, E.mul_h(x[l], E.sub_h(one, y[l])))
+    return E.add_h(total, wrap)
+
+
+def shift_kernel_table(E, x: list, n: int) -> list:
+    """[S(x, y)]_y as a table: S(x, y) = eq-table of x permuted — row y
+    holds eq(x, y-1 mod 2^n)."""
+    from .whir import eq_table
+
+    et = eq_table(E, x)
+    n_rows = 1 << n
+    # S(x, y) = [y == x+1] -> S(x, y) = eq(x, y-1)
+    return [et[(y - 1) % n_rows] for y in range(n_rows)]
+
+
+# ---------------------------------------------------------------------------
+# small host sumcheck over a product of two EF tables
+# ---------------------------------------------------------------------------
+def prove_product_sumcheck(E, table_a: list, table_b: list, challenger):
+    """Sumcheck for Σ_x A(x)·B(x); binds variable 1 (LSB) first.
+    Returns (round_polys, point, final_a, final_b)."""
+    a, b = list(table_a), list(table_b)
+    polys, point = [], []
+    while len(a) > 1:
+        s = [E.zero_h(), E.zero_h(), E.zero_h()]
+        for j in range(len(a) // 2):
+            a0, a1 = a[2 * j], a[2 * j + 1]
+            b0, b1 = b[2 * j], b[2 * j + 1]
+            s[0] = E.add_h(s[0], E.mul_h(a0, b0))
+            s[1] = E.add_h(s[1], E.mul_h(a1, b1))
+            a2 = E.add_h(a1, E.sub_h(a1, a0))
+            b2 = E.add_h(b1, E.sub_h(b1, b0))
+            s[2] = E.add_h(s[2], E.mul_h(a2, b2))
+        for v in s:
+            challenger.observe_ext(v)
+        r = challenger.sample_ext(E.D)
+        point.append(r)
+        polys.append(s)
+        a = [
+            E.add_h(a[2 * j], E.mul_h(r, E.sub_h(a[2 * j + 1], a[2 * j])))
+            for j in range(len(a) // 2)
+        ]
+        b = [
+            E.add_h(b[2 * j], E.mul_h(r, E.sub_h(b[2 * j + 1], b[2 * j])))
+            for j in range(len(b) // 2)
+        ]
+    return polys, point, a[0], b[0]
+
+
+def verify_product_sumcheck(E, claim, polys, challenger):
+    """Returns (point, final_claim) after replaying the chain."""
+    point = []
+    for s in polys:
+        if len(s) != 3:
+            raise MultiStarkError("RoundPolyShapeMismatch")
+        if E.add_h(s[0], s[1]) != claim:
+            raise MultiStarkError("SumcheckClaimMismatch")
+        for v in s:
+            challenger.observe_ext(v)
+        r = challenger.sample_ext(E.D)
+        point.append(r)
+        claim = _lagrange_at(E, s, r)
+    return point, claim
+
+
+# ---------------------------------------------------------------------------
+# proof object
+# ---------------------------------------------------------------------------
+@dataclass
+class MultiStarkProof:
+    trace_commit: tuple
+    zerocheck: SumcheckProof
+    zc_local: list  # [w] ext: T_j(r')
+    zc_next: list  # [w] ext: T_j_next(r')
+    shift_polys: list  # shift-reduction sumcheck round polys
+    shift_locals: list  # [w] ext: T_j(u')
+    colbind_polys: list  # [2][log_wp] col-binding round polys (per point)
+    whir_openings: list  # [2] -> (value, WhirProof) at the stacked points
+    degree_bits: int
+
+
+def _stack_trace(F, trace_std: np.ndarray):
+    """(n, w) -> stacked (n·w_pad,) MLE evals; column bits HIGH."""
+    n, w = trace_std.shape
+    wp = 1 << max((w - 1).bit_length(), 0)
+    out = np.zeros(n * wp, dtype=np.uint32)
+    for j in range(w):
+        out[j * n : (j + 1) * n] = trace_std[:, j]
+    return out, wp
+
+
+def _column_tables(E, coeffs_stacked, p, n_vars, wp):
+    """Table stacked(p, c) over column index c (partial low-var eval)."""
+    c = [E.from_base_h(int(x)) for x in coeffs_stacked]
+    for pi in p:  # bind the n_vars low (row) variables
+        c = [
+            E.add_h(c[2 * j], E.mul_h(pi, c[2 * j + 1]))
+            for j in range(len(c) // 2)
+        ]
+    assert len(c) == wp
+    return c
+
+
+def prove_multi_stark(
+    pcs: WhirPcs, air, trace_std: np.ndarray, publics, challenger
+):
+    F, E = pcs.F, pcs.E
+    n, w = trace_std.shape
+    n_vars = log2_strict(n)
+
+    stacked, wp = _stack_trace(F, trace_std)
+    log_wp = log2_strict(wp)
+    commit, data = pcs.commit(stacked)
+    challenger.observe(n_vars)
+    challenger.observe_digest(commit)
+    challenger.observe_many(publics)
+
+    # 1. zerocheck
+    zc_proof, zc_local, zc_next, r_prime = prove_zerocheck(
+        E, air, trace_std, publics, challenger
+    )
+    for v in zc_local:
+        challenger.observe_ext(v)
+    for v in zc_next:
+        challenger.observe_ext(v)
+
+    # 2. shift reduction: Σ_j δ^j T_j_next(r') = Σ_y S(r', y)·(Σ_j δ^j T_j(y))
+    delta = challenger.sample_ext(E.D)
+    s_table = shift_kernel_table(E, r_prime, n_vars)
+    combined = [E.zero_h()] * n
+    dp = E.one_h()
+    for j in range(w):
+        col = trace_std[:, j]
+        for y in range(n):
+            combined[y] = E.add_h(
+                combined[y], E.base_mul_h(int(col[y]), dp)
+            )
+        dp = E.mul_h(dp, delta)
+    shift_polys, u_prime, s_final, t_final = prove_product_sumcheck(
+        E, s_table, combined, challenger
+    )
+    # claimed per-column openings at u'
+    coeffs_stacked = evals_to_coeffs_np(F, stacked)
+    shift_locals = []
+    for j in range(w):
+        pt = list(u_prime) + _col_bits(E, j, log_wp)
+        shift_locals.append(
+            eval_multilinear_coeffs(
+                E,
+                [E.from_base_h(int(c)) for c in coeffs_stacked],
+                pt,
+            )
+        )
+    for v in shift_locals:
+        challenger.observe_ext(v)
+
+    # 3. column binding + WHIR opens (one per point)
+    colbind_polys, whir_openings = [], []
+    for p_pt, col_claims in (
+        (r_prime, zc_local),
+        (u_prime, shift_locals),
+    ):
+        gamma = challenger.sample_ext(E.D)
+        gtab = _gamma_table(E, gamma, w, wp)
+        ctab = _column_tables(E, coeffs_stacked, p_pt, n_vars, wp)
+        # evals over c: need EVALS not coeffs — ctab above is the
+        # coefficient table in c; convert
+        from .whir import coeffs_to_evals_ext
+
+        ctab = coeffs_to_evals_ext(E, ctab)
+        polys, q_pt, _, _ = prove_product_sumcheck(
+            E, ctab, gtab, challenger
+        )
+        colbind_polys.append(polys)
+        full_pt = list(p_pt) + q_pt
+        ch_value, whir_proof = pcs.open(data, full_pt, challenger)
+        whir_openings.append((ch_value, whir_proof))
+
+    return MultiStarkProof(
+        trace_commit=commit,
+        zerocheck=zc_proof,
+        zc_local=zc_local,
+        zc_next=zc_next,
+        shift_polys=shift_polys,
+        shift_locals=shift_locals,
+        colbind_polys=colbind_polys,
+        whir_openings=whir_openings,
+        degree_bits=n_vars,
+    )
+
+
+def _col_bits(E, j, log_wp):
+    return [
+        E.from_base_h((j >> b) & 1) for b in range(log_wp)
+    ]
+
+
+def _gamma_table(E, gamma, w, wp):
+    """MLE evals over column index with value γ^j at column j (0 pad)."""
+    out = []
+    gp = E.one_h()
+    for j in range(wp):
+        out.append(gp if j < w else E.zero_h())
+        if j < w - 1:
+            gp = E.mul_h(gp, gamma)
+    return out
+
+
+def verify_multi_stark(
+    pcs: WhirPcs, air, proof: MultiStarkProof, publics, challenger
+):
+    F, E = pcs.F, pcs.E
+    n_vars = proof.degree_bits
+    w = air.width
+    wp = 1 << max((w - 1).bit_length(), 0)
+    log_wp = log2_strict(wp)
+
+    challenger.observe(n_vars)
+    challenger.observe_digest(proof.trace_commit)
+    challenger.observe_many(publics)
+
+    r_prime = verify_zerocheck(
+        E, air, n_vars, publics, proof.zerocheck,
+        proof.zc_local, proof.zc_next, challenger,
+    )
+    for v in proof.zc_local:
+        challenger.observe_ext(v)
+    for v in proof.zc_next:
+        challenger.observe_ext(v)
+
+    # 2. shift reduction
+    delta = challenger.sample_ext(E.D)
+    claim = E.zero_h()
+    dp = E.one_h()
+    for j in range(w):
+        claim = E.add_h(claim, E.mul_h(dp, proof.zc_next[j]))
+        dp = E.mul_h(dp, delta)
+    u_prime, final_claim = verify_product_sumcheck(
+        E, claim, proof.shift_polys, challenger
+    )
+    if len(u_prime) != n_vars:
+        raise MultiStarkError("ShiftRoundCountMismatch")
+    s_val = shift_kernel_at(E, r_prime, u_prime)
+    t_comb = E.zero_h()
+    dp = E.one_h()
+    for j in range(w):
+        t_comb = E.add_h(t_comb, E.mul_h(dp, proof.shift_locals[j]))
+        dp = E.mul_h(dp, delta)
+    if E.mul_h(s_val, t_comb) != final_claim:
+        raise MultiStarkError("ShiftFinalMismatch")
+    for v in proof.shift_locals:
+        challenger.observe_ext(v)
+
+    # 3. column binding + WHIR verifies
+    if len(proof.colbind_polys) != 2 or len(proof.whir_openings) != 2:
+        raise MultiStarkError("OpeningCountMismatch")
+    for (p_pt, col_claims), polys, (val, wproof) in zip(
+        ((r_prime, proof.zc_local), (u_prime, proof.shift_locals)),
+        proof.colbind_polys,
+        proof.whir_openings,
+    ):
+        gamma = challenger.sample_ext(E.D)
+        claim = E.zero_h()
+        gp = E.one_h()
+        for j in range(w):
+            claim = E.add_h(claim, E.mul_h(gp, col_claims[j]))
+            if j < w - 1:
+                gp = E.mul_h(gp, gamma)
+        q_pt, final_claim = verify_product_sumcheck(
+            E, claim, polys, challenger
+        )
+        if len(q_pt) != log_wp:
+            raise MultiStarkError("ColBindRoundCountMismatch")
+        # γ-table MLE at q
+        g_val = E.zero_h()
+        gp = E.one_h()
+        for j in range(w):
+            g_val = E.add_h(
+                g_val,
+                E.mul_h(gp, _eq_point_bits(E, q_pt, j, log_wp)),
+            )
+            if j < w - 1:
+                gp = E.mul_h(gp, gamma)
+        # final_claim must equal stacked(p, q)·γtable(q)
+        if E.mul_h(val, g_val) != final_claim:
+            raise MultiStarkError("ColBindFinalMismatch")
+        full_pt = list(p_pt) + q_pt
+        pcs.verify(
+            proof.trace_commit,
+            n_vars + log_wp,
+            full_pt,
+            val,
+            wproof,
+            challenger,
+        )
+
+
+def _eq_point_bits(E, q_pt, j, log_wp):
+    bits = [(j >> b) & 1 for b in range(log_wp)]
+    acc = E.one_h()
+    for qb, bit in zip(q_pt, bits):
+        acc = E.mul_h(acc, qb if bit else E.sub_h(E.one_h(), qb))
+    return acc

@@ -173,6 +173,7 @@ def prove_zerocheck(E, air, trace_std, publics, challenger):
     eq = eq_table_device(E, r)
 
     round_polys = []
+    chs = []
     claim = E.zero_h()
     for rnd in range(num_vars):
         evals_t = []
@@ -192,6 +193,7 @@ def prove_zerocheck(E, air, trace_std, publics, challenger):
         for y in evals_t:
             challenger.observe_ext(y)
         ch = challenger.sample_ext(E.D)
+        chs.append(ch)
         cols_local = [_fold_ext(E, c, ch) for c in cols_local]
         cols_next = [_fold_ext(E, c, ch) for c in cols_next]
         eq = _fold_ext(E, eq, ch)
@@ -205,7 +207,7 @@ def prove_zerocheck(E, air, trace_std, publics, challenger):
         tuple(int(x) for x in F.from_monty_np(np.asarray(c[0])))
         for c in cols_next
     ]
-    return SumcheckProof(round_polys=round_polys), final_local, final_next
+    return SumcheckProof(round_polys=round_polys), final_local, final_next, chs
 
 
 def verify_zerocheck(E, air, num_vars, publics, proof: SumcheckProof,

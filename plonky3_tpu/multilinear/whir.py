@@ -1,0 +1,557 @@
+"""WHIR — multilinear PCS over constrained Reed–Solomon codes.
+
+Re-design of the reference `whir/` crate (`whir/src/parameters/whir.rs:142`
+WhirConfig; `whir/src/pcs/prover/mod.rs:73,146,197` prover rounds;
+`pcs/committer/{writer,reader}.rs`; verifier under `pcs/verifier/`): each
+round couples k sumcheck rounds over Σ_x g(x)·W(x) (W = a weighted sum of
+eq polynomials — the reference's EqStatement) with an RS-code fold:
+
+  round i:  k sumcheck rounds (quadratic round polys, challenges r)
+            → commit RS(g' = g(r,·)) on a domain HALF the size (rate
+              improves 2^{k-1} per round — the WHIR trick)
+            → OOD samples z: prover answers ĝ'(z) (new eq constraints)
+            → proof-of-work grind
+            → STIR queries into the PREVIOUS codeword: opened coset
+              groups fold (with r) to evaluations of ĝ' at domain
+              points — more eq constraints
+            → fresh γ batches the new constraints into the statement.
+  final:    g_M is sent in the clear; queries into the last committed
+            codeword fold-check directly against ĝ_M; the running claim
+            is checked against Σ_j scale_j·g_M(p_j).
+
+Univariate/multilinear correspondence: ĝ(X) = Σ_c coeff_c X^c and
+ĝ(y) = g(y, y², y⁴, …) (power points); variable 1 is the LSB of the
+coefficient index, so binding it is the even/odd fold of coefficients:
+ĝ'(x²) = (ĝ(x)+ĝ(−x))/2 + r·(ĝ(x)−ĝ(−x))/(2x). Codewords live on
+g·K bit-reversed; after l in-group folds the shift squares to g^{2^l}.
+
+Round 0 commits the BASE-field codeword; later rounds commit extension
+codewords (the reference's base-field round-0 / flattened-extension
+split, pcs/prover/mod.rs:29-51).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..merkle.extension_mmcs import ExtensionMmcs
+from ..merkle.mmcs import MerkleTreeMmcs
+from ..ops.ntt import coset_evals_from_coeffs
+from ..utils.bits import log2_strict, reverse_bits_len
+
+
+class WhirError(Exception):
+    pass
+
+
+@dataclass(frozen=True)
+class WhirConfig:
+    """Protocol knobs (WhirConfig, whir/src/parameters/whir.rs:142)."""
+
+    log_blowup: int
+    folding_factor: int  # k
+    final_vars: int
+    num_queries: int
+    ood_samples: int = 1
+    pow_bits: int = 4
+
+    def num_rounds(self, n_vars: int) -> int:
+        assert (n_vars - self.final_vars) % self.folding_factor == 0, (
+            "n_vars - final_vars must be a multiple of the folding factor"
+        )
+        return (n_vars - self.final_vars) // self.folding_factor
+
+
+@dataclass
+class WhirRoundProof:
+    sumcheck_polys: list  # [k] -> [3] ext tuples (s(0), s(1), s(2))
+    commitment: tuple | None  # None in the final round (poly in clear)
+    ood_values: list  # [ood_samples] ext tuples
+    pow_witness: int
+    query_rows: list  # sampled leaf rows (bound by the transcript; kept
+    # in the proof only for shape checks — verifier re-derives them)
+    query_values: list  # [query] -> list of 2^k ext tuples (coset group)
+    query_proof: list  # pruned sibling digests (one shared proof)
+
+
+@dataclass
+class WhirProof:
+    rounds: list  # [WhirRoundProof], the last one is the final round
+    final_poly: list  # 2^final_vars ext coefficient tuples
+
+
+@dataclass
+class WhirProverData:
+    coeffs: np.ndarray  # (2^n,) base-field standard coefficients
+    tree: object
+
+
+# ---------------------------------------------------------------------------
+# multilinear helpers (host exact)
+# ---------------------------------------------------------------------------
+def evals_to_coeffs_np(F, evals: np.ndarray) -> np.ndarray:
+    """Hypercube evals -> multilinear coefficients (Möbius transform)."""
+    c = evals.astype(np.uint64).copy()
+    n = log2_strict(c.shape[0])
+    P = np.uint64(F.P)
+    for i in range(n):
+        step = 1 << i
+        c = c.reshape(-1, 2 * step)
+        c[:, step:] = (c[:, step:] + P - c[:, :step]) % P
+        c = c.reshape(-1)
+    return c
+
+
+def coeffs_to_evals_ext(E, coeffs: list) -> list:
+    c = list(coeffs)
+    n = log2_strict(len(c))
+    for i in range(n):
+        step = 1 << i
+        for base in range(0, len(c), 2 * step):
+            for j in range(base + step, base + 2 * step):
+                c[j] = E.add_h(c[j], c[j - step])
+    return c
+
+
+def eval_multilinear_coeffs(E, coeffs: list, point: list):
+    """g(point) from coefficients; point[0] = variable 1 (index LSB)."""
+    c = list(coeffs)
+    for p in point:
+        c = [
+            E.add_h(c[2 * j], E.mul_h(p, c[2 * j + 1]))
+            for j in range(len(c) // 2)
+        ]
+    assert len(c) == 1
+    return c[0]
+
+
+def eval_univariate(E, coeffs: list, z):
+    acc = E.zero_h()
+    for c in reversed(coeffs):
+        acc = E.add_h(E.mul_h(acc, z), c)
+    return acc
+
+
+def power_point(E, y, n_vars: int) -> list:
+    out = []
+    cur = y
+    for _ in range(n_vars):
+        out.append(cur)
+        cur = E.mul_h(cur, cur)
+    return out
+
+
+def eq_factor(E, p: list, r: list):
+    acc = E.one_h()
+    for pi, ri in zip(p, r):
+        term = E.add_h(
+            E.mul_h(E.sub_h(E.one_h(), pi), E.sub_h(E.one_h(), ri)),
+            E.mul_h(pi, ri),
+        )
+        acc = E.mul_h(acc, term)
+    return acc
+
+
+def eq_table(E, p: list) -> list:
+    """[eq(p, x)]_x, x's bit i-1 = variable i (p[0] ↔ index LSB)."""
+    table = [E.one_h()]
+    for pi in p:
+        one_m = E.sub_h(E.one_h(), pi)
+        lo = [E.mul_h(t, one_m) for t in table]
+        hi = [E.mul_h(t, pi) for t in table]
+        # new variable owns the TOP bit of the grown index
+        table = lo + hi
+    return table
+
+
+def _bind_var(E, table: list, r):
+    return [
+        E.add_h(
+            table[2 * j],
+            E.mul_h(r, E.sub_h(table[2 * j + 1], table[2 * j])),
+        )
+        for j in range(len(table) // 2)
+    ]
+
+
+def _lagrange_012(E, s, r):
+    """Interpolate the quadratic s from (s(0), s(1), s(2)) at r."""
+    two_inv = E.inv_h(E.from_base_h(2))
+    r1 = E.sub_h(r, E.one_h())
+    r2 = E.sub_h(r, E.from_base_h(2))
+    t0 = E.mul_h(E.mul_h(s[0], E.mul_h(r1, r2)), two_inv)
+    t1 = E.neg_h(E.mul_h(s[1], E.mul_h(r, r2)))
+    t2 = E.mul_h(E.mul_h(s[2], E.mul_h(r, r1)), two_inv)
+    return E.add_h(E.add_h(t0, t1), t2)
+
+
+def fold_group(E, F, group: list, row: int, log_h: int, rs: list):
+    """Fold a 2^k coset group of a bitrev codeword over g·K (size
+    2^log_h) with challenges rs; returns ĝ_folded(y), y = x_row^{2^k}.
+
+    Level l pairs fold with x = g^{2^l}·ω_{2^{log_h-l}}^{rev(parent)}
+    (the shift squares per level)."""
+    k = len(rs)
+    vals = list(group)
+    for l, r in enumerate(rs):
+        log_cur = log_h - l
+        shift = F.exp_h(F.GENERATOR, 1 << l)
+        g_cur = F.two_adic_generator_h(log_cur)
+        nxt = []
+        for j in range(len(vals) // 2):
+            parent = (row << (k - l - 1)) + j
+            x = F.mul_h(
+                shift, F.exp_h(g_cur, reverse_bits_len(parent, log_cur - 1))
+            )
+            v0, v1 = vals[2 * j], vals[2 * j + 1]
+            s = E.base_mul_h(F.inv_h(2), E.add_h(v0, v1))
+            d = E.base_mul_h(
+                F.inv_h(F.mul_h(2, x)), E.mul_h(E.sub_h(v0, v1), r)
+            )
+            nxt.append(E.add_h(s, d))
+        vals = nxt
+    assert len(vals) == 1
+    return vals[0]
+
+
+def _group_base_point(F, row: int, log_h: int, k: int) -> int:
+    """y = x^{2^k} for the coset group at leaf `row` (bitrev layout)."""
+    x = F.mul_h(
+        F.GENERATOR,
+        F.exp_h(
+            F.two_adic_generator_h(log_h),
+            reverse_bits_len(row << k, log_h),
+        ),
+    )
+    return F.exp_h(x, 1 << k)
+
+
+# ---------------------------------------------------------------------------
+# the PCS
+# ---------------------------------------------------------------------------
+@dataclass(frozen=True)
+class WhirPcs:
+    """Implements the MultilinearPcs contract
+    (commit/src/pcs/multilinear.rs:20): commit / open-at-point / verify."""
+
+    F: object
+    E: object
+    config: WhirConfig
+    mmcs: MerkleTreeMmcs
+    fri_mmcs: ExtensionMmcs
+
+    # -- commit ---------------------------------------------------------
+    def commit(self, evals_std: np.ndarray):
+        F, cfg = self.F, self.config
+        k = cfg.folding_factor
+        coeffs = evals_to_coeffs_np(F, evals_std)
+        codeword = coset_evals_from_coeffs(
+            F,
+            jnp.asarray(F.to_monty_np(coeffs.reshape(-1, 1))),
+            cfg.log_blowup,
+            F.GENERATOR,
+        )
+        leaves = codeword.reshape(-1, 1 << k)
+        tree = self.mmcs.commit([leaves])
+        return tree.root_std, WhirProverData(coeffs=coeffs, tree=tree)
+
+    # -- open -----------------------------------------------------------
+    def open(self, data: WhirProverData, point: list, challenger):
+        """Prove g(point); caller observes commitment/point/value first.
+        Returns (value, WhirProof)."""
+        F, E, cfg = self.F, self.E, self.config
+        n = log2_strict(data.coeffs.shape[0])
+        k = cfg.folding_factor
+        M = cfg.num_rounds(n)
+        assert M >= 1, "need at least one WHIR round"
+
+        coeffs = [E.from_base_h(int(c)) for c in data.coeffs]
+        value = eval_multilinear_coeffs(E, coeffs, point)
+        evals = coeffs_to_evals_ext(E, coeffs)
+        w_table = eq_table(E, point)
+        constraints = [(list(point), E.one_h())]
+        claim = value
+
+        prev_tree, prev_log_h, prev_ext = (
+            data.tree,
+            n + cfg.log_blowup,
+            False,
+        )
+        rounds = []
+        n_cur = n
+
+        for rnd in range(M):
+            sc_polys, rs = [], []
+            for _ in range(k):
+                s = [E.zero_h(), E.zero_h(), E.zero_h()]
+                for j in range(len(evals) // 2):
+                    g0, g1 = evals[2 * j], evals[2 * j + 1]
+                    w0, w1 = w_table[2 * j], w_table[2 * j + 1]
+                    s[0] = E.add_h(s[0], E.mul_h(g0, w0))
+                    s[1] = E.add_h(s[1], E.mul_h(g1, w1))
+                    g2 = E.add_h(g1, E.sub_h(g1, g0))
+                    w2 = E.add_h(w1, E.sub_h(w1, w0))
+                    s[2] = E.add_h(s[2], E.mul_h(g2, w2))
+                assert E.add_h(s[0], s[1]) == claim, "sumcheck drift"
+                for v in s:
+                    challenger.observe_ext(v)
+                r = challenger.sample_ext(E.D)
+                rs.append(r)
+                sc_polys.append(s)
+                evals = _bind_var(E, evals, r)
+                w_table = _bind_var(E, w_table, r)
+                claim = _lagrange_012(E, s, r)
+                coeffs = [
+                    E.add_h(coeffs[2 * j], E.mul_h(r, coeffs[2 * j + 1]))
+                    for j in range(len(coeffs) // 2)
+                ]
+            n_cur -= k
+            constraints = [
+                (p[k:], E.mul_h(sc, eq_factor(E, p[:k], rs)))
+                for (p, sc) in constraints
+            ]
+
+            if rnd == M - 1:
+                for c in coeffs:
+                    challenger.observe_ext(c)
+                pow_witness = challenger.grind(cfg.pow_bits)
+                rows, qvals, qproof = self._answer_queries(
+                    prev_tree, prev_log_h, k, challenger, prev_ext
+                )
+                rounds.append(
+                    WhirRoundProof(
+                        sumcheck_polys=sc_polys,
+                        commitment=None,
+                        ood_values=[],
+                        pow_witness=pow_witness,
+                        query_rows=rows,
+                        query_values=qvals,
+                        query_proof=qproof,
+                    )
+                )
+                return value, WhirProof(rounds=rounds, final_poly=coeffs)
+
+            log_h = prev_log_h - 1
+            cw = self._encode_ext(coeffs, log_h)
+            tree = self.fri_mmcs.commit_ext_matrices(
+                [cw.reshape(-1, 1 << k, E.D)]
+            )
+            challenger.observe_digest(tree.root_std)
+
+            ood_values, new_pts = [], []
+            for _ in range(cfg.ood_samples):
+                z = challenger.sample_ext(E.D)
+                v = eval_univariate(E, coeffs, z)
+                challenger.observe_ext(v)
+                ood_values.append(v)
+                new_pts.append((power_point(E, z, n_cur), v))
+
+            pow_witness = challenger.grind(cfg.pow_bits)
+            rows, qvals, qproof = self._answer_queries(
+                prev_tree, prev_log_h, k, challenger, prev_ext
+            )
+            for row, group in zip(rows, qvals):
+                y = _group_base_point(F, row, prev_log_h, k)
+                fold = fold_group(E, F, group, row, prev_log_h, rs)
+                new_pts.append(
+                    (power_point(E, E.from_base_h(y), n_cur), fold)
+                )
+
+            gamma = challenger.sample_ext(E.D)
+            gp = gamma
+            for p, v in new_pts:
+                constraints.append((p, gp))
+                claim = E.add_h(claim, E.mul_h(gp, v))
+                gp = E.mul_h(gp, gamma)
+
+            w_table = [E.zero_h()] * (1 << n_cur)
+            for p, sc in constraints:
+                for idx, e in enumerate(eq_table(E, p)):
+                    w_table[idx] = E.add_h(w_table[idx], E.mul_h(sc, e))
+
+            rounds.append(
+                WhirRoundProof(
+                    sumcheck_polys=sc_polys,
+                    commitment=tree.root_std,
+                    ood_values=ood_values,
+                    pow_witness=pow_witness,
+                    query_rows=rows,
+                    query_values=qvals,
+                    query_proof=qproof,
+                )
+            )
+            prev_tree, prev_log_h, prev_ext = tree, log_h, True
+
+    def _encode_ext(self, coeffs: list, log_h: int):
+        F = self.F
+        arr = np.array(coeffs, dtype=np.uint64)
+        blow = log_h - log2_strict(len(coeffs))
+        return coset_evals_from_coeffs(
+            F, jnp.asarray(F.to_monty_np(arr)), blow, F.GENERATOR
+        )
+
+    def _answer_queries(self, tree, log_h, k, challenger, is_ext):
+        E, cfg = self.E, self.config
+        rows = [
+            challenger.sample_bits(log_h - k)
+            for _ in range(cfg.num_queries)
+        ]
+        if is_ext:
+            vals_pq, proof = self.fri_mmcs.open_multi_batch(tree, rows)
+            qvals = [q[0] for q in vals_pq]
+        else:
+            vals_pq, proof = self.mmcs.open_multi_batch(tree, rows)
+            qvals = [[E.from_base_h(v) for v in q[0]] for q in vals_pq]
+        return rows, qvals, proof
+
+    # -- verify ---------------------------------------------------------
+    def verify(self, commitment, n_vars: int, point: list, value,
+               proof: WhirProof, challenger):
+        F, E, cfg = self.F, self.E, self.config
+        k = cfg.folding_factor
+        M = cfg.num_rounds(n_vars)
+        if len(proof.rounds) != M:
+            raise WhirError("RoundCountMismatch")
+        if len(proof.final_poly) != 1 << cfg.final_vars:
+            raise WhirError("FinalPolyLengthMismatch")
+
+        constraints = [(list(point), E.one_h())]
+        claim = value
+        prev_commit, prev_log_h, prev_ext = (
+            commitment,
+            n_vars + cfg.log_blowup,
+            False,
+        )
+        n_cur = n_vars
+
+        for rnd, rp in enumerate(proof.rounds):
+            final = rnd == M - 1
+            if len(rp.sumcheck_polys) != k:
+                raise WhirError("SumcheckPolyCountMismatch")
+            rs = []
+            for s in rp.sumcheck_polys:
+                if len(s) != 3:
+                    raise WhirError("RoundPolyShapeMismatch")
+                if E.add_h(s[0], s[1]) != claim:
+                    raise WhirError("SumcheckClaimMismatch")
+                for v in s:
+                    challenger.observe_ext(v)
+                r = challenger.sample_ext(E.D)
+                rs.append(r)
+                claim = _lagrange_012(E, s, r)
+            n_cur -= k
+            constraints = [
+                (p[k:], E.mul_h(sc, eq_factor(E, p[:k], rs)))
+                for (p, sc) in constraints
+            ]
+
+            if final:
+                for c in proof.final_poly:
+                    challenger.observe_ext(c)
+                if not challenger.check_witness(
+                    cfg.pow_bits, rp.pow_witness
+                ):
+                    raise WhirError("InvalidPowWitness")
+                rows = [
+                    challenger.sample_bits(prev_log_h - k)
+                    for _ in range(cfg.num_queries)
+                ]
+                self._verify_openings(
+                    prev_commit, prev_log_h, k, rows, rp, prev_ext
+                )
+                for row, group in zip(rows, rp.query_values):
+                    y = _group_base_point(F, row, prev_log_h, k)
+                    fold = fold_group(E, F, group, row, prev_log_h, rs)
+                    direct = eval_univariate(
+                        E, proof.final_poly, E.from_base_h(y)
+                    )
+                    if fold != direct:
+                        raise WhirError("FinalQueryMismatch")
+                total = E.zero_h()
+                for p, sc in constraints:
+                    total = E.add_h(
+                        total,
+                        E.mul_h(
+                            sc,
+                            eval_multilinear_coeffs(
+                                E, proof.final_poly, p
+                            ),
+                        ),
+                    )
+                if total != claim:
+                    raise WhirError("FinalClaimMismatch")
+                return
+
+            if rp.commitment is None:
+                raise WhirError("MissingRoundCommitment")
+            challenger.observe_digest(rp.commitment)
+            if len(rp.ood_values) != cfg.ood_samples:
+                raise WhirError("OodCountMismatch")
+            new_pts = []
+            for v in rp.ood_values:
+                z = challenger.sample_ext(E.D)
+                challenger.observe_ext(v)
+                new_pts.append((power_point(E, z, n_cur), v))
+            if not challenger.check_witness(cfg.pow_bits, rp.pow_witness):
+                raise WhirError("InvalidPowWitness")
+            rows = [
+                challenger.sample_bits(prev_log_h - k)
+                for _ in range(cfg.num_queries)
+            ]
+            self._verify_openings(
+                prev_commit, prev_log_h, k, rows, rp, prev_ext
+            )
+            for row, group in zip(rows, rp.query_values):
+                y = _group_base_point(F, row, prev_log_h, k)
+                fold = fold_group(E, F, group, row, prev_log_h, rs)
+                new_pts.append(
+                    (power_point(E, E.from_base_h(y), n_cur), fold)
+                )
+            gamma = challenger.sample_ext(E.D)
+            gp = gamma
+            for p, v in new_pts:
+                constraints.append((p, gp))
+                claim = E.add_h(claim, E.mul_h(gp, v))
+                gp = E.mul_h(gp, gamma)
+            prev_commit, prev_log_h, prev_ext = (
+                rp.commitment,
+                prev_log_h - 1,
+                True,
+            )
+
+    def _verify_openings(self, commit, log_h, k, rows, rp, is_ext):
+        E = self.E
+        if len(rp.query_values) != len(rows):
+            raise WhirError("QueryCountMismatch")
+        for g in rp.query_values:
+            if len(g) != (1 << k):
+                raise WhirError("QueryGroupShapeMismatch")
+        if is_ext:
+            ok = self.fri_mmcs.verify_multi_batch(
+                commit,
+                [(1 << (log_h - k), 1 << k)],
+                rows,
+                [[g] for g in rp.query_values],
+                rp.query_proof,
+            )
+        else:
+            base_rows = []
+            for g in rp.query_values:
+                row_vals = []
+                for v in g:
+                    if any(c != 0 for c in v[1:]):
+                        raise WhirError("NonBaseOpening")
+                    row_vals.append(int(v[0]))
+                base_rows.append([row_vals])
+            ok = self.mmcs.verify_multi_batch(
+                commit,
+                [(1 << (log_h - k), 1 << k)],
+                rows,
+                base_rows,
+                rp.query_proof,
+            )
+        if not ok:
+            raise WhirError("MmcsError")

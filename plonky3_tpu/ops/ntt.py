@@ -171,3 +171,20 @@ def eval_coeffs_at_point_ext(E, F: Monty31, coeffs, z_powers):
     # (n, w, 1) * (n, 1, D) -> sum over n
     prods = F.mul(coeffs[:, :, None], z_powers[:, None, :])
     return F.sum(prods, axis=0)
+
+
+def coset_evals_from_coeffs(F: Monty31, coeffs, added_bits: int, shift_std: int):
+    """Evaluate the polynomial with coefficient matrix `coeffs` (natural
+    order, (m, w) device monty) over the coset shift·K,
+    |K| = m·2^added_bits; output bit-reversed rows.
+
+    The forward half of `coset_lde_batch` without the interpolation pass
+    (the caller already has coefficients — WHIR/STIR commit path)."""
+    log_m = log2_strict(coeffs.shape[0])
+    log_N = log_m + added_bits
+    m, N = 1 << log_m, 1 << log_N
+    sp = _shift_powers(F, log_m, shift_std, 1)
+    scaled = F.mul(coeffs, sp.reshape((m,) + (1,) * (coeffs.ndim - 1)))
+    pad = jnp.zeros((N - m,) + coeffs.shape[1:], jnp.uint32)
+    return _dif(F, jnp.concatenate([scaled, pad], axis=0), log_N,
+                inverse=False)

@@ -52,6 +52,35 @@ def poseidon2_stark_config(F, E, fri_params: FriParameters) -> StarkConfig:
     return StarkConfig(pcs=pcs)
 
 
+def zk_stark_config(F, E, fri_params: FriParameters, seed: int = 0,
+                    salt_elems: int = 4,
+                    num_random_codewords: int = 1) -> StarkConfig:
+    """ZK configuration (fib_air.rs make_zk_config analog): hiding MMCS
+    (salted leaves) + HidingFriPcs (random rows/codewords + masked
+    quotient + R-poly batch randomizer)."""
+    import numpy as np
+
+    from ..fri.hiding_pcs import HidingFriPcs
+    from ..merkle.hiding_mmcs import MerkleTreeHidingMmcs
+
+    rng = np.random.default_rng(seed)
+    base_mmcs = MerkleTreeMmcs(
+        sponge=PaddingFreeSponge(default_poseidon2(F, 24), rate=16, out=8),
+        compressor=TruncatedPermutation(default_poseidon2(F, 16), chunk=8),
+    )
+    hiding = MerkleTreeHidingMmcs(
+        inner=base_mmcs, salt_elems=salt_elems, rng=rng
+    )
+    inner = TwoAdicFriPcs(
+        F=F, E=E, fri=fri_params, mmcs=hiding,
+        fri_mmcs=ExtensionMmcs(inner=base_mmcs, D=E.D),
+    )
+    pcs = HidingFriPcs(
+        inner=inner, num_random_codewords=num_random_codewords, rng=rng
+    )
+    return StarkConfig(pcs=pcs)
+
+
 def circle_stark_config(fri_params: FriParameters) -> StarkConfig:
     """Mersenne-31 circle STARK config (the reference's m31 benchmark
     objective): CirclePcs + keccak merkle + SerializingChallenger32.

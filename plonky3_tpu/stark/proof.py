@@ -11,6 +11,7 @@ import numpy as np
 class Commitments:
     trace: tuple  # digest (8 standard ints)
     quotient_chunks: tuple
+    random: tuple | None = None  # ZK randomization commitment (R)
 
 
 @dataclass
@@ -18,6 +19,9 @@ class OpenedValues:
     trace_local: list  # [ext tuple] per trace column
     trace_next: list
     quotient_chunks: list  # [chunk] -> [ext tuple] per flattened column
+    random: list | None = None  # ZK: R's opening at zeta
+    # ZK: random-codeword openings from the hiding PCS, per opening round
+    random_codewords: object = None
 
 
 @dataclass

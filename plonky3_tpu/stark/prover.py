@@ -98,6 +98,10 @@ def prove(
             _t["last"] = now
 
     F, E, pcs = config.F, config.E, config.pcs
+    if getattr(pcs, "ZK", False):
+        from .zk import prove_zk
+
+        return prove_zk(config, air, trace, public_values)
     n = trace.shape[0]
     log_n = log2_strict(n)
 

@@ -26,6 +26,10 @@ def verify(
     public_values,
 ):
     F, E, pcs = config.F, config.E, config.pcs
+    if getattr(pcs, "ZK", False):
+        from .zk import verify_zk
+
+        return verify_zk(config, air, proof, public_values)
     log_n = proof.degree_bits
     log_max = getattr(pcs, "log_max_lde_height", None)
     log_max = log_max() if log_max else F.TWO_ADICITY

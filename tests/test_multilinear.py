@@ -58,7 +58,7 @@ def test_zerocheck_roundtrip():
     air = CyclicMulAir(F)
     trace = _gen_trace(4)
     ch = _challenger()
-    proof, fl, fn = prove_zerocheck(E, air, trace, [], ch)
+    proof, fl, fn, _ = prove_zerocheck(E, air, trace, [], ch)
 
     vch = _challenger()
     chs = verify_zerocheck(E, air, 4, [], proof, fl, fn, vch)
@@ -76,7 +76,7 @@ def test_zerocheck_rejects_bad_trace():
     trace = _gen_trace(4)
     trace[5, 0] ^= 1  # violate the transition
     ch = _challenger()
-    proof, fl, fn = prove_zerocheck(E, air, trace, [], ch)
+    proof, fl, fn, _ = prove_zerocheck(E, air, trace, [], ch)
     vch = _challenger()
     with pytest.raises(ValueError):
         verify_zerocheck(E, air, 4, [], proof, fl, fn, vch)
@@ -86,7 +86,7 @@ def test_zerocheck_rejects_tampered_round_poly():
     air = CyclicMulAir(F)
     trace = _gen_trace(3)
     ch = _challenger()
-    proof, fl, fn = prove_zerocheck(E, air, trace, [], ch)
+    proof, fl, fn, _ = prove_zerocheck(E, air, trace, [], ch)
     proof.round_polys[1][0] = E.add_h(proof.round_polys[1][0], E.one_h())
     vch = _challenger()
     with pytest.raises(ValueError):
