@@ -97,7 +97,7 @@ class SerializingChallenger32:
         self.observe(witness)
         return self.sample_bits(bits) == 0
 
-    def grind(self, bits: int, batch: int = 1 << 15) -> int:
+    def grind(self, bits: int, batch: int = 1 << 17) -> int:
         if bits == 0:
             # grind(0) still observes witness 0 and samples
             # (grinding_challenger.rs returns ZERO without transcript
@@ -105,6 +105,24 @@ class SerializingChallenger32:
             return 0
         prefix = bytes(self.input_buffer)
         mask = (1 << bits) - 1
+        # device path: one keccak-f dispatch per batch (candidates in
+        # canonical order, inserted in WIRE form)
+        if len(prefix) + 4 <= 135:
+            from ..hashes.keccak import keccak256_grind_device
+
+            start = 0
+            while start < self.F.P:
+                n = min(batch, self.F.P - start)
+                cands = np.arange(start, start + n, dtype=np.uint32)
+                i = keccak256_grind_device(
+                    prefix, bits, self.F.to_monty_np(cands)
+                )
+                if i is not None:
+                    w = int(start + i)
+                    ok = self.check_witness(bits, w)
+                    assert ok
+                    return w
+                start += n
         start = 0
         while start < self.F.P:
             n = min(batch, self.F.P - start)

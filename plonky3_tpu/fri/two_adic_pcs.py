@@ -67,12 +67,76 @@ def _ys_kernel(E, mat, xs, inv_denom, factor_m):
 @partial(jax.jit, static_argnames=("E",))
 def _mred_kernel(E, mat, ap_dev):
     """Mred(x) = Σ_j alpha^j·M[x, j] — the rowwise_packed_dot_product
-    analog (two_adic_pcs.rs:624-627)."""
+    analog (two_adic_pcs.rs:624-627). VPU fallback path."""
     F = E.base
     return jnp.stack(
         [F.sum(F.mul(mat, ap_dev[None, :, d]), axis=1) for d in range(E.D)],
         axis=-1,
     )
+
+
+# Exactness bound for the MXU limb path: partial sums are Σ_w u8·u4
+# products accumulated in f32 — exact while w·255·15 < 2^24.
+_MXU_MAX_WIDTH = (1 << 24) // (255 * 15)
+
+
+@partial(jax.jit, static_argnames=("E",))
+def _mred_kernel_mxu(E, mat, ap_dev):
+    """The MXU path for Mred (SURVEY §7 hard part 1): decompose the
+    Monty-form u32 matrix into four u8 limb planes and the alpha powers
+    into eight u4 planes, contract with bf16 matmuls (inputs ≤ 255/15
+    are exact in bf16; TPU matmuls accumulate in f32, and every partial
+    sum stays < 2^24 so the arithmetic is EXACT), then recombine the 32
+    partials with one Monty multiply each:
+
+        Σ_j m_j·a_jd = Σ_{k,l} 2^{8k+4l}·(Σ_j M_k[j]·A_l[j,d])
+
+    The integer dot of Monty residues is R²·Σxy; multiplying each
+    partial by the RAW constant 2^{8k+4l} under Monty mul (which divides
+    by R) leaves R·Σxy — the Monty form of the true Mred. Rows are
+    processed in chunks via lax.map so the f32 limb planes never
+    materialize at full height."""
+    F = E.base
+    h, w = mat.shape
+    D = E.D
+    a4 = jnp.stack(
+        [(ap_dev >> (4 * l)) & 0xF for l in range(8)], axis=-1
+    ).astype(jnp.bfloat16)  # (w, D, 8)
+
+    chunk = min(h, 1 << 13)
+    n_chunks = h // chunk
+
+    a4_mat = a4.reshape(w, D * 8)  # (w, 32·?) static
+
+    def body(mchunk):  # (chunk, w) u32
+        hc = mchunk.shape[0]
+        m8 = jnp.stack(
+            [(mchunk >> (8 * k)) & 0xFF for k in range(4)], axis=0
+        ).astype(jnp.bfloat16)  # (4, chunk, w)
+        part = jnp.dot(
+            m8.reshape(4 * hc, w), a4_mat,
+            preferred_element_type=jnp.float32,
+        )  # (4·chunk, D·8): ONE clean MXU matmul per chunk
+        part_u = part.astype(jnp.uint32).reshape(4, hc, D, 8)
+        acc = None
+        for k in range(4):
+            for l in range(8):
+                c = jnp.uint32((1 << (8 * k + 4 * l)) % F.P)
+                term = F.mul(part_u[k, :, :, l], c)
+                acc = term if acc is None else F.add(acc, term)
+        return acc  # (chunk, D)
+
+    if n_chunks == 1:
+        return body(mat)
+    out = jax.lax.map(body, mat.reshape(n_chunks, chunk, w))
+    return out.reshape(h, D)
+
+
+def _mred(E, mat, ap_dev):
+    """Dispatch: MXU limb path when the width bound allows, else VPU."""
+    if mat.shape[1] <= _MXU_MAX_WIDTH and mat.shape[0] >= (1 << 10):
+        return _mred_kernel_mxu(E, mat, ap_dev)
+    return _mred_kernel(E, mat, ap_dev)
 
 
 @partial(jax.jit, static_argnames=("E",))
@@ -233,7 +297,7 @@ class TwoAdicFriPcs:
                 log_h = log2_strict(h)
                 w = mat.shape[1]
                 alpha_pows = E.powers_np(alpha, w)  # (w, D) host-exact
-                mat_compressed = _mred_kernel(
+                mat_compressed = _mred(
                     E, mat, jnp.asarray(alpha_pows)
                 )  # (h, D)
                 for z, ys in zip(pts, mat_vals):

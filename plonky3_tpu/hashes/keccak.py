@@ -15,6 +15,7 @@ r >= 32 and then shifts with cross-carry — all static shifts, no gathers.
 from __future__ import annotations
 
 import numpy as np
+import jax.numpy as jnp
 
 # round constants (standard Keccak LFSR output), split into (lo, hi) u32
 _RC64 = [
@@ -198,3 +199,86 @@ def keccak256_np_batch(prefix: bytes, candidates: np.ndarray) -> np.ndarray:
             out[:, 8 * i + b] = (lo[:, i] >> (8 * b)).astype(np.uint8)
             out[:, 8 * i + 4 + b] = (hi[:, i] >> (8 * b)).astype(np.uint8)
     return out
+
+
+_GRIND_CACHE: dict = {}
+
+
+def keccak256_grind_device(prefix: bytes, bits: int, cands_wire):
+    """Device PoW search for SerializingChallenger32.grind: find the
+    first index i with sample_bits(bits) == 0 after
+    keccak256(prefix || cands_wire[i]_le). cands_wire are WIRE-form u32s
+    (monty for monty-31 fields), in increasing canonical-witness order.
+    Returns the index or None.
+
+    One keccak-f[1600] dispatch per batch (the numpy batch kernel left
+    the grind host-bound at ~1s/proof on this box's single vCPU).
+    Requires the padded message to fit one rate block (prefix ≤ 131
+    bytes — always true for the chained-digest transcripts)."""
+    import jax
+
+    rate = 136
+    msg_len = len(prefix) + 4
+    if msg_len > rate - 1:
+        return None  # fall back to the numpy path
+    base = np.zeros(200, dtype=np.uint8)
+    base[: len(prefix)] = np.frombuffer(prefix, dtype=np.uint8)
+    base[msg_len] ^= 0x01
+    base[rate - 1] ^= 0x80
+    words = base.reshape(25, 8).astype(np.uint32)
+    base_lo = words[:, 0] | (words[:, 1] << 8) | (words[:, 2] << 16) | (
+        words[:, 3] << 24
+    )
+    base_hi = words[:, 4] | (words[:, 5] << 8) | (words[:, 6] << 16) | (
+        words[:, 7] << 24
+    )
+
+    batch = int(cands_wire.shape[0])
+    lane = len(prefix) // 8
+    sb = len(prefix) % 8
+    key = (bits, batch, lane, sb)
+    fn = _GRIND_CACHE.get(key)
+    if fn is None:
+        import jax as _jax
+
+        @_jax.jit
+        def fn(base_lo, base_hi, cands):
+            # lane/sb are STATIC python ints: all shift amounts stay
+            # python ints so no uint32->int32 promotion sneaks in (an
+            # int32 state would make the keccak rotations arithmetic)
+            n = cands.shape[0]
+            lo = jnp.broadcast_to(base_lo, (n, 25)).astype(jnp.uint32)
+            hi = jnp.broadcast_to(base_hi, (n, 25)).astype(jnp.uint32)
+            zero = jnp.zeros_like(cands)
+            lo_part = cands << (8 * sb) if sb < 4 else zero
+            if sb == 0:
+                hi_part = zero
+            elif sb < 4:
+                hi_part = cands >> (32 - 8 * sb)
+            else:
+                hi_part = cands << (8 * (sb - 4))
+            over_part = cands >> (32 - 8 * (sb - 4)) if sb > 4 else zero
+            lo = lo.at[:, lane].set(lo[:, lane] ^ lo_part)
+            hi = hi.at[:, lane].set(hi[:, lane] ^ hi_part)
+            lo = lo.at[:, lane + 1].set(lo[:, lane + 1] ^ over_part)
+            olo, ohi = keccak_f1600_arrays(jnp, lo, hi)
+            h3 = ohi[:, 3]
+            v = (
+                ((h3 & 0xFF) << 24)
+                | ((h3 >> 8 & 0xFF) << 16)
+                | ((h3 >> 16 & 0xFF) << 8)
+                | (h3 >> 24)
+            )
+            ok = (v & jnp.uint32((1 << bits) - 1)) == 0
+            idx = jnp.argmax(ok)
+            return idx, ok[idx]
+
+        _GRIND_CACHE[key] = fn
+
+    idx, found = fn(
+        jnp.asarray(base_lo), jnp.asarray(base_hi),
+        jnp.asarray(cands_wire, dtype=jnp.uint32),
+    )
+    if bool(found):
+        return int(idx)
+    return None

@@ -29,7 +29,11 @@ class ExtensionMmcs:
 
         h, w, d = mat.shape
         assert d == self.D
-        mode = "np" if isinstance(mat, _np.ndarray) else False
+        # device: ONE jitted tree program per (h, w) shape — with the
+        # persistent compile cache this costs one compile ever and one
+        # dispatch per round (vs ~log h eager dispatches, which dominated
+        # the FRI commit phase through the axon tunnel)
+        mode = "np" if isinstance(mat, _np.ndarray) else True
         return self.inner.commit([mat.reshape(h, w * d)], jit_tree=mode)
 
     def commit_ext_matrices(self, mats, jit_tree=False) -> MerkleProverData:

@@ -77,6 +77,12 @@ def _build_layers(mmcs, mats):
 _build_layers_jit = partial(jax.jit, static_argnums=0)(_build_layers)
 
 
+@jax.jit
+def _gather_many(arrays, idxs):
+    """Fused multi-array gather: one device dispatch for a whole proof."""
+    return tuple(a[i] for a, i in zip(arrays, idxs))
+
+
 def _build_layers_np(mmcs, mats):
     """Exact numpy tree build (host) — for small commits where a device
     compile would dominate (late FRI rounds)."""
@@ -340,41 +346,82 @@ class MerkleTreeMmcs:
 
         Returns (rows_per_query, sibling_hashes): rows as in
         open_batch_many; sibling_hashes a flat list of standard-form
-        digest tuples in frontier order."""
-        rows_pq, _ = self.open_batch_many(data, indices, want_proofs=False)
+        digest tuples in frontier order.
+
+        TPU shape: every device pull — all matrices' query rows and every
+        level's boundary digests (padded to Q) — fuses into ONE jitted
+        gather program (one dispatch per tree per proof; the per-level
+        pulls previously dominated the FRI query phase through the
+        dispatch-latency of the remote chip)."""
         F = self.F
         max_h = data.layers[0].shape[0]
         log_max = log2_strict(max_h)
         dif = data.digest_is_field
+        Q = len(indices)
 
         # boundary node positions per level (host walk, tiny)
         frontier = sorted(set(int(i) for i in indices))
-        want = []  # (level, node) to ship
+        want = []  # (level, node) in wire order
+        by_level = {}
         for lvl in range(log_max):
             present = set(frontier)
             for node in frontier:
                 if node ^ 1 not in present:
                     want.append((lvl, node ^ 1))
+                    by_level.setdefault(lvl, []).append(node ^ 1)
             frontier = sorted({node >> 1 for node in frontier})
 
-        # gather the digests (grouped per level: one pull per level)
-        sibling_hashes = []
-        by_level = {}
-        for lvl, node in want:
-            by_level.setdefault(lvl, []).append(node)
-        pulled = {}
+        # assemble the fused gather: matrix rows + padded level digests
+        dev_arrays, dev_idx, dev_tags = [], [], []
+        np_rows, np_levels = {}, {}
+        for k, m in enumerate(data.matrices):
+            shift = log_max - log2_strict(m.shape[0])
+            idxs = np.array([i >> shift for i in indices], dtype=np.int32)
+            if isinstance(m, np.ndarray):
+                np_rows[k] = m[idxs]
+            else:
+                dev_arrays.append(m)
+                dev_idx.append(jnp.asarray(idxs))
+                dev_tags.append(("mat", k))
         for lvl, nodes in by_level.items():
             layer = data.layers[lvl]
-            idx = np.array(nodes, dtype=np.int32)
+            padded = np.zeros(Q, dtype=np.int32)
+            padded[: len(nodes)] = nodes
             if isinstance(layer, np.ndarray):
-                digs = layer[idx]
+                np_levels[lvl] = layer[padded[: len(nodes)]]
             else:
-                digs = np.asarray(layer[jnp.asarray(idx)])
+                dev_arrays.append(layer)
+                dev_idx.append(jnp.asarray(padded))
+                dev_tags.append(("lvl", lvl))
+        if dev_arrays:
+            pulled = _gather_many(tuple(dev_arrays), tuple(dev_idx))
+            pulled = [np.asarray(x) for x in pulled]
+        else:
+            pulled = []
+        mat_rows, lvl_digs = dict(np_rows), {}
+        for lvl, d in np_levels.items():
+            lvl_digs[lvl] = d
+        for (kind, key), arr in zip(dev_tags, pulled):
+            if kind == "mat":
+                mat_rows[key] = arr
+            else:
+                lvl_digs[key] = arr[: len(by_level[key])]
+
+        rows_pq = [
+            [
+                [int(x) for x in F.from_monty_np(mat_rows[k][q]).reshape(-1)]
+                for k in range(len(data.matrices))
+            ]
+            for q in range(Q)
+        ]
+        pulled_map = {}
+        for lvl, nodes in by_level.items():
+            digs = lvl_digs[lvl]
             if dif:
                 digs = F.from_monty_np(digs)
-            pulled[lvl] = {n: tuple(int(x) for x in d) for n, d in zip(nodes, digs)}
-        for lvl, node in want:
-            sibling_hashes.append(pulled[lvl][node])
+            for n, d in zip(nodes, digs):
+                pulled_map[(lvl, n)] = tuple(int(x) for x in d)
+        sibling_hashes = [pulled_map[(lvl, node)] for lvl, node in want]
         return rows_pq, sibling_hashes
 
     def verify_multi_batch(
