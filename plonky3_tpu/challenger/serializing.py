@@ -105,6 +105,25 @@ class SerializingChallenger32:
             return 0
         prefix = bytes(self.input_buffer)
         mask = (1 << bits) - 1
+        # native C path: ~1M hashes/s on host, no device round-trip
+        from ..native import keccak256_grind
+
+        start = 0
+        probe = keccak256_grind(prefix, np.zeros(1, np.uint32), mask)
+        if probe is not None:
+            while start < self.F.P:
+                n = min(batch, self.F.P - start)
+                cands = np.arange(start, start + n, dtype=np.uint32)
+                i = keccak256_grind(
+                    prefix, self.F.to_monty_np(cands), mask
+                )
+                if i >= 0:
+                    w = int(start + i)
+                    ok = self.check_witness(bits, w)
+                    assert ok
+                    return w
+                start += n
+            raise RuntimeError("no grind witness found")
         # device path: one keccak-f dispatch per batch (candidates in
         # canonical order, inserted in WIRE form)
         if len(prefix) + 4 <= 135:

@@ -108,6 +108,12 @@ def keccak_f1600_arrays(xp, lo, hi):
     XLA compile PER ROUND on the 1-vCPU host).
     """
     if xp is np:
+        from ..native import keccakf_batch_u32
+
+        shp = lo.shape
+        r = keccakf_batch_u32(lo.reshape(-1, 25), hi.reshape(-1, 25))
+        if r is not None:
+            return r[0].reshape(shp), r[1].reshape(shp)
         for rc in _RC64:
             lo, hi = _keccak_round(
                 np, lo, hi, np.uint32(rc & _M32), np.uint32(rc >> 32)
@@ -141,6 +147,11 @@ def keccak_f1600_host(lanes):
 
 def keccak256(data: bytes) -> bytes:
     """Keccak-256 (original 0x01 padding, NOT sha3-256)."""
+    from ..native import keccak256 as keccak256_c
+
+    d = keccak256_c(bytes(data))
+    if d is not None:
+        return d
     rate = 136
     padded = bytearray(data)
     pad_len = rate - (len(padded) % rate)

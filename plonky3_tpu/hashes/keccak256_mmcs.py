@@ -45,6 +45,11 @@ class Keccak256FieldHasher:
             [np.asarray(m).reshape(h, -1) for m in mats], axis=1
         )
         rows = _rows_to_bytes(flat)
+        from ..native import keccak256_rows
+
+        digs = keccak256_rows(rows)
+        if digs is not None:
+            return digs.astype(np.uint32)
         out = np.empty((h, 32), dtype=np.uint32)
         for i in range(h):
             out[i] = np.frombuffer(keccak256(rows[i].tobytes()), np.uint8)
@@ -74,6 +79,11 @@ class Keccak256Compressor:
         left = np.asarray(left, dtype=np.uint8)
         right = np.asarray(right, dtype=np.uint8)
         h = left.shape[0]
+        from ..native import keccak256_rows
+
+        digs = keccak256_rows(np.concatenate([left, right], axis=1))
+        if digs is not None:
+            return digs.astype(np.uint32)
         out = np.empty((h, 32), dtype=np.uint32)
         for i in range(h):
             out[i] = np.frombuffer(
