@@ -25,6 +25,32 @@ import numpy as np
 from ..hashes.poseidon2 import Poseidon2
 
 
+def _sample_uniform_bits(challenger, F, bits: int) -> int:
+    """Shared unbiased bit sampler (duplex_challenger.rs:378): draw field
+    elements, rejecting any >= m_k = (P >> k) << k (so the kept range
+    holds each k-bit pattern equally often), and return the low k bits.
+    For k above the field's two-adicity (where rejection stops being
+    ~1/P-rare), combine two half-width draws instead."""
+    if bits == 0:
+        return 0
+    P = F.P
+    assert (1 << bits) < P, "bit count exceeds field order"
+    max_single = getattr(F, "TWO_ADICITY", 24)
+
+    def draw(k: int) -> int:
+        m = (P >> k) << k
+        v = challenger.sample()
+        while v >= m:
+            v = challenger.sample()
+        return v & ((1 << k) - 1)
+
+    if bits <= max_single:
+        return draw(bits)
+    half1 = bits // 2
+    half2 = bits - half1
+    return draw(half1) | (draw(half2) << half1)
+
+
 class DuplexChallenger:
     def __init__(self, perm: Poseidon2, rate: int = 16):
         assert 0 < rate < perm.width
@@ -79,6 +105,14 @@ class DuplexChallenger:
     def sample_bits(self, bits: int) -> int:
         assert (1 << bits) < self.perm.F.P
         return self.sample() & ((1 << bits) - 1)
+
+    def sample_uniform_bits(self, bits: int) -> int:
+        """Unbiased bit sampling with field-side rejection
+        (duplex_challenger.rs:378 sample_uniform_bits::<true>):
+        resample while the drawn element is >= m_k = (P >> k) << k, then
+        take the low k bits. Above the field's single-sample limit (its
+        two-adicity), two half-width draws are combined."""
+        return _sample_uniform_bits(self, self.perm.F, bits)
 
     # ------------------------------------------------------------------
     def check_witness(self, bits: int, witness: int) -> bool:

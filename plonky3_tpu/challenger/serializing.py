@@ -90,6 +90,14 @@ class SerializingChallenger32:
         assert (1 << bits) < self.F.P
         return self._sample_u32() & ((1 << bits) - 1)
 
+    def sample_uniform_bits(self, bits: int) -> int:
+        """Unbiased bit sampling with field-side rejection (see
+        duplex.py:_sample_uniform_bits; the serializing challenger's
+        sample() already rejection-samples to a uniform field element)."""
+        from .duplex import _sample_uniform_bits
+
+        return _sample_uniform_bits(self, self.F, bits)
+
     # -- proof of work ----------------------------------------------------
     def check_witness(self, bits: int, witness: int) -> bool:
         if bits == 0:
