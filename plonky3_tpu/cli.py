@@ -171,6 +171,102 @@ def cmd_prove(args):
     return total
 
 
+def cmd_pcs_comparison(args):
+    """FRI vs STIR univariate PCS: same matrix, same opening point —
+    commit/open/verify wall-clock + proof bytes (the
+    `examples/examples/pcs_comparison.rs` analog)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .challenger.duplex import DuplexChallenger
+    from .fri.config import FriParameters
+    from .fri.two_adic_pcs import TwoAdicFriPcs
+    from .hashes.poseidon2 import default_poseidon2
+    from .hashes.sponge import PaddingFreeSponge, TruncatedPermutation
+    from .merkle.extension_mmcs import ExtensionMmcs
+    from .merkle.mmcs import MerkleTreeMmcs
+    from .stir import StirParameters
+    from .stir.pcs import TwoAdicStirPcs
+
+    F, E = _field(args.field)
+    mmcs = MerkleTreeMmcs(
+        sponge=PaddingFreeSponge(default_poseidon2(F, 24), rate=16, out=8),
+        compressor=TruncatedPermutation(default_poseidon2(F, 16), chunk=8),
+    )
+    ext_mmcs = ExtensionMmcs(inner=mmcs, D=E.D)
+    fri_pcs = TwoAdicFriPcs(
+        F=F, E=E, fri=_fri_params(args.fri), mmcs=mmcs,
+        fri_mmcs=ext_mmcs,
+    )
+    stir_pcs = TwoAdicStirPcs(
+        F=F, E=E,
+        params=StirParameters(
+            log_blowup=args.log_blowup,
+            log_folding_factor=args.log_folding_factor,
+            security_level=args.security_level,
+            max_pow_bits=args.max_pow_bits,
+        ),
+        mmcs=mmcs, stir_mmcs=ext_mmcs,
+    )
+
+    rng = np.random.default_rng(3)
+    n, w = 1 << args.log_trace_length, args.width
+    evals = jnp.asarray(F.rand_np(rng, (n, w)))
+    z = E.rand_h(rng)
+
+    def run(name, pcs):
+        domain = pcs.natural_domain_for_degree(n)
+        ch = DuplexChallenger(default_poseidon2(F, 24), rate=16)
+        t0 = time.perf_counter()
+        data = pcs.commit([(domain, evals)])
+        ch.observe_many(data.root_std)
+        opened, proof = pcs.open([(data, [[z]])], ch)
+        t_prove = time.perf_counter() - t0
+        vch = DuplexChallenger(default_poseidon2(F, 24), rate=16)
+        vch.observe_many(data.root_std)
+        t0 = time.perf_counter()
+        pcs.verify(
+            [(data.root_std, [(domain, [(z, opened[0][0][0])])])],
+            proof, vch,
+        )
+        t_verify = time.perf_counter() - t0
+        size = _proof_bytes(E, proof)
+        print(
+            f"  {name:<6s} commit+open {t_prove*1e3:9.1f} ms   "
+            f"verify {t_verify*1e3:8.1f} ms   proof {size} bytes"
+        )
+
+    print(
+        f"pcs comparison: 2^{args.log_trace_length} x {args.width} "
+        f"{args.field} matrix, 1 opening point"
+    )
+    run("fri", fri_pcs)
+    run("stir", stir_pcs)
+
+
+def _proof_bytes(E, proof):
+    """Wire-size estimate: 4 bytes/base element over any proof tree."""
+
+    def walk(x):
+        if isinstance(x, (list, tuple)):
+            return sum(walk(v) for v in x)
+        if isinstance(x, dict):
+            return sum(walk(v) for v in x.values())
+        if hasattr(x, "__dict__"):
+            return walk(vars(x))
+        if isinstance(x, (int, np.integer)):
+            return 4
+        return 0
+
+    import numpy as np
+
+    return walk(proof)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="plonky3_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -187,9 +283,23 @@ def main(argv=None):
                    choices=["poseidon2", "keccak-f"])
     p.add_argument("--repeat", type=int, default=1,
                    help="prove N times; report each (steady-state timing)")
+    pc = sub.add_parser("pcs-comparison")
+    pc.add_argument("--field", default="koala-bear",
+                    choices=["koala-bear", "baby-bear"])
+    pc.add_argument("--log-trace-length", type=int, default=10)
+    pc.add_argument("--width", type=int, default=8)
+    pc.add_argument("--fri", default="testing",
+                    choices=["testing", "benchmark",
+                             "benchmark-high-arity"])
+    pc.add_argument("--log-blowup", type=int, default=2)
+    pc.add_argument("--log-folding-factor", type=int, default=2)
+    pc.add_argument("--security-level", type=int, default=60)
+    pc.add_argument("--max-pow-bits", type=int, default=12)
     args = ap.parse_args(argv)
     if args.cmd == "prove":
         cmd_prove(args)
+    elif args.cmd == "pcs-comparison":
+        cmd_pcs_comparison(args)
 
 
 if __name__ == "__main__":

@@ -30,7 +30,14 @@ from jax.experimental.pallas import tpu as pltpu
 from .keccak import _RC64
 
 RATE = 17  # u64 lanes per absorb block
+# Only shapes at least this tall ride the pallas kernel: every distinct
+# (nb, h) is a separate Mosaic compile of the ~10k-op unrolled keccak
+# body (minutes on this 1-vCPU host), so small trees/levels stay on the
+# XLA path where their traffic is negligible anyway.
+PALLAS_MIN_ROWS = 1 << 16
 OUT_WORDS = 8  # digest: 4 u64 = 8 u32 rows
+BLK = 40  # u32 rows per packed block: 34 payload + 6 pad (sublane align:
+# dynamic VMEM loads need starts provably a multiple of 8)
 
 # keccak rho rotation offsets by lane index (5x5 row-major), standard
 _RHO = [
@@ -94,50 +101,53 @@ def _round(lo, hi, rc_lo, rc_hi):
     return lo, hi
 
 
-def _keccakf(st, rcs):
-    """24 rounds via fori_loop; st: (50, S, L) u32 (2·lane + lohi rows)."""
+def _keccakf(st):
+    """24 unrolled rounds; st: (50, S, L) u32 (2·lane + lohi rows).
 
-    def body(r, st):
-        lo = [st[2 * i] for i in range(25)]
-        hi = [st[2 * i + 1] for i in range(25)]
-        lo, hi = _round(lo, hi, rcs[r, 0], rcs[r, 1])
-        inter = [None] * 50
-        for i in range(25):
-            inter[2 * i] = lo[i]
-            inter[2 * i + 1] = hi[i]
-        return jnp.stack(inter, axis=0)
+    Rounds are unrolled with literal round constants (Mosaic has no
+    dynamic_slice on values, so an rc table lookup can't lower; the
+    ~10k-op straight-line body is the register-resident form we want
+    anyway)."""
+    lo = [st[2 * i] for i in range(25)]
+    hi = [st[2 * i + 1] for i in range(25)]
+    for rc in _RC64:
+        lo, hi = _round(
+            lo, hi, np.uint32(rc & 0xFFFFFFFF), np.uint32(rc >> 32)
+        )
+    inter = [None] * 50
+    for i in range(25):
+        inter[2 * i] = lo[i]
+        inter[2 * i + 1] = hi[i]
+    return jnp.stack(inter, axis=0)
 
-    return jax.lax.fori_loop(0, 24, body, st)
 
-
-def _sponge_kernel(nb, rem, in_ref, rc_ref, out_ref):
+def _sponge_kernel(nb, rem, in_ref, out_ref):
     """Absorb nb rate-blocks (overwrite mode), emit digest rows 0..7.
 
     The final block overwrites only `rem` lanes (0 = full block) — a
     partial-block absorb keeps the remaining state lanes, matching
     _sponge_arrays in keccak_sponge.py.
 
-    in_ref: (nb*34, R) u32; rc_ref: (24, 2) u32; out_ref: (8, R) u32.
+    in_ref: (nb*BLK, R) u32; out_ref: (8, R) u32.
     """
     R = in_ref.shape[1]
     S = R // 128
-    rcs = rc_ref[:]
     nfull = nb - 1 if rem else nb
 
     def absorb(b, st):
-        blk = in_ref[pl.ds(b * 34, 34), :].reshape(34, S, 128)
+        blk = in_ref[pl.ds(b * BLK, 34), :].reshape(34, S, 128)
         st = jnp.concatenate([blk, st[34:]], axis=0)
-        return _keccakf(st, rcs)
+        return _keccakf(st)
 
     st0 = jnp.zeros((50, S, 128), jnp.uint32)
     st = jax.lax.fori_loop(0, nfull, absorb, st0)
     if rem:
         k = 2 * rem
-        blk = in_ref[(nb - 1) * 34 : (nb - 1) * 34 + k, :].reshape(
+        blk = in_ref[(nb - 1) * BLK : (nb - 1) * BLK + k, :].reshape(
             k, S, 128
         )
         st = jnp.concatenate([blk, st[k:]], axis=0)
-        st = _keccakf(st, rcs)
+        st = _keccakf(st)
     out_ref[:] = st[:OUT_WORDS].reshape(OUT_WORDS, R)
 
 
@@ -149,13 +159,13 @@ _RCS_NP = np.array(
 def _pick_rblk(nb: int, h: int) -> int:
     """Largest batch block with the input slab under ~6 MB of VMEM."""
     for rblk in (4096, 2048, 1024):
-        if rblk <= h and nb * 34 * rblk * 4 <= 6 * (1 << 20):
+        if rblk <= h and nb * BLK * rblk * 4 <= 8 * (1 << 20):
             return rblk
     return 1024
 
 
 @partial(jax.jit, static_argnames=("nb", "rem"))
-def _sponge_call(nb, rem, packed, rcs):
+def _sponge_call(nb, rem, packed):
     """packed: (nb*34, h) u32 -> (8, h) u32 digests."""
     h = packed.shape[1]
     rblk = _pick_rblk(nb, h)
@@ -166,23 +176,20 @@ def _sponge_call(nb, rem, packed, rcs):
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (nb * 34, rblk), lambda i: (0, i),
+                (nb * BLK, rblk), lambda i: (0, i),
                 memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (24, 2), lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
             (OUT_WORDS, rblk), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
         interpret=jax.default_backend() == "cpu",
-    )(packed, rcs)
+    )(packed)
 
 
 def _pack_rows(flat):
-    """(h, w) u32 -> (nb*34, h): rows ordered 34·block + 2·lane + lohi,
-    zero-padded to whole rate blocks."""
+    """(h, w) u32 -> (nb*BLK, h): rows ordered BLK·block + 2·lane +
+    lohi, each rate block padded from 34 to BLK rows."""
     h, w = flat.shape
     if w % 2:
         flat = jnp.concatenate(
@@ -196,9 +203,14 @@ def _pack_rows(flat):
         flat = jnp.concatenate(
             [flat, jnp.zeros((h, 2 * pad), jnp.uint32)], axis=1
         )
-    # column 2j = lo of lane j, 2j+1 = hi — already the kernel row order
+    # column 2j = lo of lane j, 2j+1 = hi — the kernel row order
+    blocks = flat.reshape(h, nb, 34)
+    blocks = jnp.concatenate(
+        [blocks, jnp.zeros((h, nb, BLK - 34), jnp.uint32)], axis=2
+    )
+    packed = blocks.transpose(1, 2, 0).reshape(nb * BLK, h)
     rem = nl - (nb - 1) * RATE
-    return flat.T, nb, rem % RATE
+    return packed, nb, rem % RATE
 
 
 def keccak_sponge_rows_pallas(flat):
@@ -208,7 +220,7 @@ def keccak_sponge_rows_pallas(flat):
     if h % 1024 != 0:
         return None
     packed, nb, rem = _pack_rows(flat)
-    out = _sponge_call(nb, rem, packed, jnp.asarray(_RCS_NP))
+    out = _sponge_call(nb, rem, packed)
     return out.T
 
 
@@ -220,7 +232,7 @@ def keccak_compress_pallas(left, right):
     cat = jnp.concatenate([left, right], axis=1)  # (h, 16) word rows
     # word order in digests is already 2·lane + lohi; pad to one block
     packed = jnp.concatenate(
-        [cat.T, jnp.zeros((34 - 16, h), jnp.uint32)], axis=0
+        [cat.T, jnp.zeros((BLK - 16, h), jnp.uint32)], axis=0
     )
-    out = _sponge_call(1, 8, packed, jnp.asarray(_RCS_NP))
+    out = _sponge_call(1, 8, packed)
     return out.T

@@ -73,6 +73,16 @@ class KeccakFieldSponge:
     def hash_rows_device(self, mats):
         h = mats[0].shape[0]
         flat = jnp.concatenate([m.reshape(h, -1) for m in mats], axis=1)
+        from .keccak_pallas import PALLAS_MIN_ROWS
+
+        if h % 1024 == 0 and h >= PALLAS_MIN_ROWS and (
+            jax.default_backend() != "cpu"
+        ):
+            from .keccak_pallas import keccak_sponge_rows_pallas
+
+            out = keccak_sponge_rows_pallas(flat)
+            if out is not None:
+                return out
         lo, hi = _rows_to_u64_lanes(jnp, flat)
         n = lo.shape[1]
         nfull = n // RATE
@@ -138,6 +148,16 @@ class KeccakCompressor:
 
     def compress_device(self, left, right):
         h = left.shape[0]
+        from .keccak_pallas import PALLAS_MIN_ROWS
+
+        if h % 1024 == 0 and h >= PALLAS_MIN_ROWS and (
+            jax.default_backend() != "cpu"
+        ):
+            from .keccak_pallas import keccak_compress_pallas
+
+            out = keccak_compress_pallas(left, right)
+            if out is not None:
+                return out
         cat = jnp.concatenate([left, right], axis=1).reshape(h, 8, 2)
         lo, hi = cat[..., 0], cat[..., 1]
         slo = jnp.concatenate(
