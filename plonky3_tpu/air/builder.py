@@ -113,6 +113,12 @@ class AirBuilder:
         self.is_last_row = is_last_row
         self.is_transition = is_transition
         self._filter = None  # optional Sym multiplied into constraints
+        # bus interactions recorded during eval (lookup/src/builder.rs
+        # InteractionBuilder): each entry is a dict with bus name, field
+        # Syms, count Sym, and the per-row count-magnitude bound. The
+        # list is shared with when()-children so gated pushes land in
+        # the root record.
+        self.interactions = []
 
     # -- constraint emission ------------------------------------------
     def assert_zero(self, x):
@@ -150,7 +156,30 @@ class AirBuilder:
         child._filter = (
             condition if self._filter is None else self._filter * condition
         )
+        child.interactions = self.interactions
         return child
+
+    # -- bus interactions (lookup/src/builder.rs push_interaction) -----
+    def push_interaction(self, bus_name, fields, count, count_weight=1):
+        """Record one message on a named bus. A when()-filter gates the
+        count (an inactive row emits nothing)."""
+
+        def lift(x):
+            if isinstance(x, Sym):
+                return x
+            return Sym(self.backend, self.backend.const(int(x)))
+
+        count = lift(count)
+        if self._filter is not None:
+            count = self._filter * count
+        self.interactions.append(
+            dict(
+                bus=bus_name,
+                fields=[lift(f) for f in fields],
+                count=count,
+                count_weight=count_weight,
+            )
+        )
 
     def when_first_row(self):
         return self.when(self.is_first_row)
