@@ -196,3 +196,37 @@ class KeccakCompressor:
             out.append(state[i] & 0xFFFFFFFF)
             out.append(state[i] >> 32)
         return tuple(out)
+
+    # N-ary variants: N digests (4 u64 lanes each) absorbed in one
+    # rate-17 block while N <= 4 (merkle/generalized.py arity trees)
+    def compress_many_np(self, children):
+        h = children[0].shape[0]
+        words = np.concatenate(list(children), axis=1)  # (h, 8N) u32
+        n_lanes = words.shape[1] // 2
+        assert n_lanes <= RATE, "arity too large for one keccak block"
+        cat = words.reshape(h, n_lanes, 2)
+        lo = np.concatenate(
+            [cat[..., 0], np.zeros((h, 25 - n_lanes), np.uint32)], axis=1
+        )
+        hi = np.concatenate(
+            [cat[..., 1], np.zeros((h, 25 - n_lanes), np.uint32)], axis=1
+        )
+        lo, hi = keccak_f1600_arrays(np, lo, hi)
+        out = np.stack([lo[:, :OUT], hi[:, :OUT]], axis=-1)
+        return out.reshape(h, 2 * OUT)
+
+    def compress_host_many(self, children):
+        words = [int(x) for c in children for x in c]
+        n_lanes = len(words) // 2
+        assert n_lanes <= RATE
+        lanes = [
+            words[2 * i] | (words[2 * i + 1] << 32)
+            for i in range(n_lanes)
+        ]
+        state = lanes + [0] * (25 - n_lanes)
+        state = keccak_f1600_host(state)
+        out = []
+        for i in range(OUT):
+            out.append(state[i] & 0xFFFFFFFF)
+            out.append(state[i] >> 32)
+        return tuple(out)

@@ -135,3 +135,22 @@ class TruncatedPermutation:
         state += [0] * (self.perm.width - len(state))
         out = self.perm.permute_host(state)
         return tuple(out[: self.chunk])
+
+    # N-ary variants (compression.rs TruncatedPermutation<_, N, CHUNK, W>
+    # general case — the arity-schedule trees of merkle/generalized.py)
+    def compress_many_np(self, children):
+        h = children[0].shape[0]
+        width = self.perm.width
+        assert len(children) * self.chunk <= width
+        pad = np.zeros(
+            (h, width - len(children) * self.chunk), np.uint32
+        )
+        state = np.concatenate(list(children) + [pad], axis=1)
+        return self.perm.permute_np(state)[:, : self.chunk]
+
+    def compress_host_many(self, children):
+        state = [int(x) for c in children for x in c]
+        assert len(state) <= self.perm.width
+        state += [0] * (self.perm.width - len(state))
+        out = self.perm.permute_host(state)
+        return tuple(out[: self.chunk])
