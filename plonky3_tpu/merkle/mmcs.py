@@ -205,11 +205,13 @@ class MerkleTreeMmcs:
         # in one transfer, instead of materializing whole layers on host
         dif = data.digest_is_field
         if not want_proofs:
+            # bulk tolist: one C-level conversion per matrix instead of
+            # Q*w python int() calls (hot in the FRI query phase)
+            per_mat_lists = [
+                r.reshape(len(indices), -1).tolist() for r in per_mat_rows
+            ]
             rows_pq = [
-                [
-                    [int(x) for x in per_mat_rows[k][q].reshape(-1)]
-                    for k in range(len(data.matrices))
-                ]
+                [per_mat_lists[k][q] for k in range(len(data.matrices))]
                 for q in range(len(indices))
             ]
             return rows_pq, None
@@ -407,11 +409,12 @@ class MerkleTreeMmcs:
             else:
                 lvl_digs[key] = arr[: len(by_level[key])]
 
+        mat_lists = [
+            F.from_monty_np(mat_rows[k]).reshape(Q, -1).tolist()
+            for k in range(len(data.matrices))
+        ]
         rows_pq = [
-            [
-                [int(x) for x in F.from_monty_np(mat_rows[k][q]).reshape(-1)]
-                for k in range(len(data.matrices))
-            ]
+            [mat_lists[k][q] for k in range(len(data.matrices))]
             for q in range(Q)
         ]
         pulled_map = {}
