@@ -257,14 +257,17 @@ class TwoAdicFriPcs:
             zc = jnp.asarray(E.to_monty_np(z))
             inv_denoms[z] = _inv_denom_kernel(E, zc, xs_br[:h])
 
-        # column evaluations ys by barycentric interpolation; observe
-        opened_values = []
+        # column evaluations ys by barycentric interpolation: launch every
+        # kernel first (async), fetch ALL results in one round-trip, then
+        # observe in transcript order (each separate pull costs ~30 ms of
+        # tunnel latency).
+        from ..utils.transfer import pull_all
+
+        ys_devs = []
         for data, points in data_with_points:
-            round_vals = []
             for mat, pts in zip(_poly_mats(data), points):
                 h = mat.shape[0]
                 n_std = h  # coset size
-                mat_vals = []
                 for z in pts:
                     # scale by (z^n - s^n)/(n·s^n), s = GENERATOR
                     s_pow_n = F.exp_h(F.GENERATOR, n_std)
@@ -273,12 +276,20 @@ class TwoAdicFriPcs:
                         F.inv_h(F.mul_h(n_std, s_pow_n)),
                         E.sub_h(zn, E.from_base_h(s_pow_n)),
                     )
-                    ys_dev = _ys_kernel(
+                    ys_devs.append(_ys_kernel(
                         E, mat, xs_br[:h], inv_denoms[z][:h],
                         jnp.asarray(E.to_monty_np(factor)),
-                    )
-                    ys_np = F.from_monty_np(np.asarray(ys_dev))
-                    ys = [tuple(int(c) for c in row) for row in ys_np]
+                    ))
+        ys_all = iter(pull_all(ys_devs))
+
+        opened_values = []
+        for data, points in data_with_points:
+            round_vals = []
+            for mat, pts in zip(_poly_mats(data), points):
+                mat_vals = []
+                for z in pts:
+                    ys_np = F.from_monty_np(next(ys_all))
+                    ys = [tuple(r) for r in ys_np.tolist()]
                     for y in ys:
                         challenger.observe_ext(y)
                     mat_vals.append(ys)

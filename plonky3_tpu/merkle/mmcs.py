@@ -79,8 +79,24 @@ _build_layers_jit = partial(jax.jit, static_argnums=0)(_build_layers)
 
 @jax.jit
 def _gather_many(arrays, idxs):
-    """Fused multi-array gather: one device dispatch for a whole proof."""
-    return tuple(a[i] for a, i in zip(arrays, idxs))
+    """Fused multi-array gather returning ONE flat concatenation: a
+    single dispatch AND a single device->host pull per proof (each
+    separate output pull costs a full ~30 ms tunnel round-trip)."""
+    return jnp.concatenate(
+        [a[i].ravel() for a, i in zip(arrays, idxs)]
+    )
+
+
+def _gather_many_split(arrays, idxs):
+    """Host wrapper: fused gather + one pull + split back to shapes."""
+    flat = np.asarray(_gather_many(tuple(arrays), tuple(idxs)))
+    out, off = [], 0
+    for a, i in zip(arrays, idxs):
+        w = int(np.prod(a.shape[1:], dtype=np.int64))
+        cnt = int(i.shape[0]) * w
+        out.append(flat[off : off + cnt].reshape((int(i.shape[0]),) + tuple(a.shape[1:])))
+        off += cnt
+    return out
 
 
 def _build_layers_np(mmcs, mats):
@@ -396,8 +412,7 @@ class MerkleTreeMmcs:
                 dev_idx.append(jnp.asarray(padded))
                 dev_tags.append(("lvl", lvl))
         if dev_arrays:
-            pulled = _gather_many(tuple(dev_arrays), tuple(dev_idx))
-            pulled = [np.asarray(x) for x in pulled]
+            pulled = _gather_many_split(dev_arrays, dev_idx)
         else:
             pulled = []
         mat_rows, lvl_digs = dict(np_rows), {}
