@@ -505,40 +505,46 @@ class CirclePcs:
 
         folding = CircleFriFolding(E)
 
-        def open_input_fn(indices):
-            input_openings = []
+        def open_input_fn(indices, batcher):
+            futs = []
             for data, _ in data_with_points:
                 log_batch_max = max(
                     log2_strict(m.shape[0]) for m in data.matrices
                 )
                 # indices carry log_max bits (log_global + 1 extra bit)
                 bits_reduced = log_max - log_batch_max
-                vals, pruned = self.mmcs.open_multi_batch(
-                    data, [i >> bits_reduced for i in indices]
-                )
-                input_openings.append(
+                futs.append(batcher.add(
+                    self.mmcs, data, [i >> bits_reduced for i in indices]
+                ))
+            fl_fut = batcher.add(
+                self.fri_mmcs, fl_data, [i >> 1 for i in indices]
+            )
+
+            def finish():
+                input_openings = [
                     BatchMultiOpening(
-                        opened_values=vals, opening_proof=pruned
+                        opened_values=f.value[0], opening_proof=f.value[1]
                     )
+                    for f in futs
+                ]
+                ext_pq, fl_proofs = fl_fut.value
+                fl_sibs = []
+                for index, ext_rows in zip(indices, ext_pq):
+                    sibs = []
+                    # rows per matrix in commit order (ascending
+                    # log_height); sibling = other member of the pair
+                    for log_h, row in zip(log_heights, ext_rows):
+                        bits = log_max - log_h
+                        b = (index >> bits) & 1
+                        sibs.append(row[b ^ 1])
+                    fl_sibs.append(sibs)
+                return CircleInputProof(
+                    input_openings=input_openings,
+                    first_layer_siblings=fl_sibs,
+                    first_layer_proofs=fl_proofs,
                 )
-            ext_pq, fl_proofs = self.fri_mmcs.open_multi_batch(
-                fl_data, [i >> 1 for i in indices]
-            )
-            fl_sibs = []
-            for index, ext_rows in zip(indices, ext_pq):
-                sibs = []
-                # rows are returned per matrix in commit order (ascending
-                # log_height); sibling = other member of the pair
-                for log_h, row in zip(log_heights, ext_rows):
-                    bits = log_max - log_h
-                    b = (index >> bits) & 1
-                    sibs.append(row[b ^ 1])
-                fl_sibs.append(sibs)
-            return CircleInputProof(
-                input_openings=input_openings,
-                first_layer_siblings=fl_sibs,
-                first_layer_proofs=fl_proofs,
-            )
+
+            return finish
 
         fri_proof = prove_fri(
             E,

@@ -217,10 +217,26 @@ def prove_fri(
     ]
 
     _mark("fri: grind+indices")
-    input_openings = open_input_fn(indices)
-    commit_phase_steps = _answer_queries(
-        E, fri_mmcs, log_arities, datas, [i >> extra for i in indices]
+    # ONE shared device->host round-trip for every tree touched by the
+    # query phase: input trees + all commit-phase trees register their
+    # gathers on the batcher, then a single flush resolves them.
+    from ..merkle.mmcs import PullBatcher
+
+    batcher = PullBatcher()
+    try:
+        input_finish = open_input_fn(indices, batcher)
+    except TypeError:
+        input_finish = None
+    steps_finish = _answer_queries(
+        E, fri_mmcs, log_arities, datas, [i >> extra for i in indices],
+        batcher,
     )
+    batcher.flush()
+    input_openings = (
+        input_finish() if input_finish is not None
+        else open_input_fn(indices)
+    )
+    commit_phase_steps = steps_finish()
 
     _mark("fri: query openings")
     return FriProof(
@@ -233,25 +249,37 @@ def prove_fri(
     )
 
 
-def _answer_queries(E, fri_mmcs, log_arities, datas, start_indices):
-    """Sibling values + paths per round (prover.rs answer_queries:308)."""
-    steps = []
+def _answer_queries(E, fri_mmcs, log_arities, datas, start_indices,
+                    batcher):
+    """Sibling values + paths per round (prover.rs answer_queries:308).
+
+    Registers the per-round gathers on `batcher` and returns a finisher
+    to call after the flush."""
+    futs = []
     indices = list(start_indices)
     for log_arity, data in zip(log_arities, datas):
-        arity = 1 << log_arity
         row_indices = [idx >> log_arity for idx in indices]
-        ext_pq, pruned = fri_mmcs.open_multi_batch(data, row_indices)
-        sibs = []
-        for idx, ext_rows in zip(indices, ext_pq):
-            group = ext_rows[0]  # single matrix per round
-            pos = idx % arity
-            sibs.append([g for j, g in enumerate(group) if j != pos])
+        futs.append((log_arity, list(indices),
+                     batcher.add(fri_mmcs, data, row_indices)))
         indices = row_indices
-        steps.append(
-            CommitPhaseStep(
-                log_arity=log_arity,
-                sibling_values=sibs,
-                opening_proof=pruned,
+
+    def finish():
+        steps = []
+        for log_arity, idx_list, fut in futs:
+            arity = 1 << log_arity
+            ext_pq, pruned = fut.value
+            sibs = []
+            for idx, ext_rows in zip(idx_list, ext_pq):
+                group = ext_rows[0]  # single matrix per round
+                pos = idx % arity
+                sibs.append([g for j, g in enumerate(group) if j != pos])
+            steps.append(
+                CommitPhaseStep(
+                    log_arity=log_arity,
+                    sibling_values=sibs,
+                    opening_proof=pruned,
+                )
             )
-        )
-    return steps
+        return steps
+
+    return finish

@@ -338,22 +338,26 @@ class TwoAdicFriPcs:
         _jax.block_until_ready(fri_input[0])
         _mark("open: reduced accumulation")
 
-        def open_input_fn(indices):
-            openings = []
+        def open_input_fn(indices, batcher):
+            futs = []
             for data, _ in data_with_points:
                 log_batch_max = log2_strict(
                     max(m.shape[0] for m in data.matrices)
                 )
                 bits_reduced = log_global_max_height - log_batch_max
-                vals, pruned = self.mmcs.open_multi_batch(
-                    data, [i >> bits_reduced for i in indices]
-                )
-                openings.append(
+                futs.append(batcher.add(
+                    self.mmcs, data, [i >> bits_reduced for i in indices]
+                ))
+
+            def finish():
+                return [
                     BatchMultiOpening(
-                        opened_values=vals, opening_proof=pruned
+                        opened_values=f.value[0], opening_proof=f.value[1]
                     )
-                )
-            return openings
+                    for f in futs
+                ]
+
+            return finish
 
         fri_proof = prove_fri(
             E,

@@ -92,6 +92,9 @@ class ExtensionMmcs:
     def open_multi_batch(self, data: MerkleProverData, indices):
         """Pruned multi-opening of ext rows (one shared proof)."""
         rows_pq, sibling_hashes = self.inner.open_multi_batch(data, indices)
+        return self._regroup(rows_pq), sibling_hashes
+
+    def _regroup(self, rows_pq):
         ext_pq = []
         for rows in rows_pq:
             ext_rows = []
@@ -104,7 +107,16 @@ class ExtensionMmcs:
                     ]
                 )
             ext_pq.append(ext_rows)
-        return ext_pq, sibling_hashes
+        return ext_pq
+
+    # PullBatcher protocol: delegate the gather plan to the inner tree,
+    # regroup base rows into extension tuples at finish time
+    def _omb_plan(self, data, indices):
+        return self.inner._omb_plan(data, indices)
+
+    def _omb_finish(self, data, plan, pulled):
+        rows_pq, sibs = self.inner._omb_finish(data, plan, pulled)
+        return self._regroup(rows_pq), sibs
 
     def verify_multi_batch(
         self, root_std, dims, indices, ext_rows_pq, sibling_hashes

@@ -99,6 +99,46 @@ def _gather_many_split(arrays, idxs):
     return out
 
 
+class _Fut:
+    """Resolved by PullBatcher.flush()."""
+
+    __slots__ = ("value",)
+
+
+class PullBatcher:
+    """Share ONE device->host round-trip across several trees' pruned
+    multi-openings (each separate pull costs ~30 ms of tunnel latency).
+
+    usage: fut = batcher.add(mmcs, data, indices); batcher.flush();
+    rows, proof = fut.value."""
+
+    def __init__(self):
+        self.entries = []
+
+    def add(self, mmcs, data, indices):
+        plan = mmcs._omb_plan(data, indices)
+        fut = _Fut()
+        self.entries.append((mmcs, data, plan, fut))
+        return fut
+
+    def flush(self):
+        all_arrays, all_idx = [], []
+        for _, _, plan, _ in self.entries:
+            all_arrays.extend(plan["dev_arrays"])
+            all_idx.extend(plan["dev_idx"])
+        pulled = (
+            _gather_many_split(all_arrays, all_idx) if all_arrays else []
+        )
+        off = 0
+        for mmcs, data, plan, fut in self.entries:
+            k = len(plan["dev_arrays"])
+            fut.value = mmcs._omb_finish(
+                data, plan, pulled[off : off + k]
+            )
+            off += k
+        self.entries = []
+
+
 def _build_layers_np(mmcs, mats):
     """Exact numpy tree build (host) — for small commits where a device
     compile would dominate (late FRI rounds)."""
@@ -366,15 +406,21 @@ class MerkleTreeMmcs:
         open_batch_many; sibling_hashes a flat list of standard-form
         digest tuples in frontier order.
 
-        TPU shape: every device pull — all matrices' query rows and every
-        level's boundary digests (padded to Q) — fuses into ONE jitted
-        gather program (one dispatch per tree per proof; the per-level
-        pulls previously dominated the FRI query phase through the
-        dispatch-latency of the remote chip)."""
-        F = self.F
+        TPU shape: all device pulls fuse into one gather + ONE
+        device->host round-trip; use a PullBatcher to share that
+        round-trip across several trees of one proof."""
+        plan = self._omb_plan(data, indices)
+        pulled = (
+            _gather_many_split(plan["dev_arrays"], plan["dev_idx"])
+            if plan["dev_arrays"]
+            else []
+        )
+        return self._omb_finish(data, plan, pulled)
+
+    def _omb_plan(self, data: MerkleProverData, indices):
+        """Phase 1: frontier walk + device gather assembly (no pulls)."""
         max_h = data.layers[0].shape[0]
         log_max = log2_strict(max_h)
-        dif = data.digest_is_field
         Q = len(indices)
 
         # boundary node positions per level (host walk, tiny)
@@ -389,7 +435,6 @@ class MerkleTreeMmcs:
                     by_level.setdefault(lvl, []).append(node ^ 1)
             frontier = sorted({node >> 1 for node in frontier})
 
-        # assemble the fused gather: matrix rows + padded level digests
         dev_arrays, dev_idx, dev_tags = [], [], []
         np_rows, np_levels = {}, {}
         for k, m in enumerate(data.matrices):
@@ -411,14 +456,22 @@ class MerkleTreeMmcs:
                 dev_arrays.append(layer)
                 dev_idx.append(jnp.asarray(padded))
                 dev_tags.append(("lvl", lvl))
-        if dev_arrays:
-            pulled = _gather_many_split(dev_arrays, dev_idx)
-        else:
-            pulled = []
-        mat_rows, lvl_digs = dict(np_rows), {}
-        for lvl, d in np_levels.items():
+        return dict(
+            dev_arrays=dev_arrays, dev_idx=dev_idx, dev_tags=dev_tags,
+            np_rows=np_rows, np_levels=np_levels, by_level=by_level,
+            want=want, Q=Q, indices=list(indices),
+        )
+
+    def _omb_finish(self, data: MerkleProverData, plan, pulled):
+        """Phase 2: convert pulled arrays to wire-form rows + proof."""
+        F = self.F
+        dif = data.digest_is_field
+        Q = plan["Q"]
+        by_level = plan["by_level"]
+        mat_rows, lvl_digs = dict(plan["np_rows"]), {}
+        for lvl, d in plan["np_levels"].items():
             lvl_digs[lvl] = d
-        for (kind, key), arr in zip(dev_tags, pulled):
+        for (kind, key), arr in zip(plan["dev_tags"], pulled):
             if kind == "mat":
                 mat_rows[key] = arr
             else:
@@ -439,7 +492,9 @@ class MerkleTreeMmcs:
                 digs = F.from_monty_np(digs)
             for n, d in zip(nodes, digs):
                 pulled_map[(lvl, n)] = tuple(int(x) for x in d)
-        sibling_hashes = [pulled_map[(lvl, node)] for lvl, node in want]
+        sibling_hashes = [
+            pulled_map[(lvl, node)] for lvl, node in plan["want"]
+        ]
         return rows_pq, sibling_hashes
 
     def verify_multi_batch(
