@@ -82,10 +82,12 @@ def _shift_powers(F: Monty31, log_n: int, shift_std: int, scale_std: int):
 def _dif(F: Monty31, x, log_n: int, inverse: bool):
     """DIF butterfly network along axis 0: natural in, bit-reversed out.
 
-    Stages run two-at-a-time as radix-4 bodies (identical arithmetic to
-    two radix-2 stages, so the output is bit-for-bit unchanged): each
-    fused body is one XLA kernel, halving the number of full-array HBM
-    round-trips — the network is bandwidth-bound at 2^18×1312."""
+    Stages run three-at-a-time as radix-8 bodies (identical arithmetic
+    to three radix-2 stages, so the output is bit-for-bit unchanged):
+    each fused body is one XLA pass, cutting full-array HBM round-trips
+    by 3x — the network is bandwidth-bound at 2^18×1312. (A pallas
+    four-step variant exists in ntt_pallas.py but loses to these XLA
+    passes: its in-VMEM butterflies pay tile relayouts every stage.)"""
     n = 1 << log_n
     if log_n == 0:
         return x
@@ -94,40 +96,29 @@ def _dif(F: Monty31, x, log_n: int, inverse: bool):
     bcast = (1,) * len(rest)
     x = x.reshape((1, n) + rest)
     s = 0
-    while log_n - s >= 2:
+    while s < log_n:
+        k = min(3, log_n - s)
         m = n >> s
-        q = m >> 2
-        w = tw_full[:: 1 << s]  # (m/2,) stage-s twiddles
-        w_lo = w[:q].reshape((1, q) + bcast)
-        w_hi = w[q:].reshape((1, q) + bcast)
-        v = tw_full[:: 2 << s].reshape((1, q) + bcast)  # stage s+1
-        q0 = x[:, :q]
-        q1 = x[:, q : 2 * q]
-        q2 = x[:, 2 * q : 3 * q]
-        q3 = x[:, 3 * q :]
-        t0 = F.add(q0, q2)
-        t1 = F.add(q1, q3)
-        b0 = F.mul(F.sub(q0, q2), w_lo)
-        b1 = F.mul(F.sub(q1, q3), w_hi)
-        out0 = F.add(t0, t1)
-        out1 = F.mul(F.sub(t0, t1), v)
-        out2 = F.add(b0, b1)
-        out3 = F.mul(F.sub(b0, b1), v)
-        x = jnp.concatenate([out0, out1, out2, out3], axis=1).reshape(
-            (4 << s, q) + rest
+        q = m >> k
+        parts = [x[:, i * q : (i + 1) * q] for i in range(1 << k)]
+
+        def rec(parts, d, s=s, q=q):
+            if len(parts) == 1:
+                return parts
+            half = len(parts) // 2
+            tw_vec = tw_full[:: 1 << (s + d)]
+            tops, bots = [], []
+            for j in range(half):
+                t, u = parts[j], parts[j + half]
+                tw = tw_vec[j * q : (j + 1) * q].reshape((1, q) + bcast)
+                tops.append(F.add(t, u))
+                bots.append(F.mul(F.sub(t, u), tw))
+            return rec(tops, d + 1) + rec(bots, d + 1)
+
+        x = jnp.concatenate(rec(parts, 0), axis=1).reshape(
+            ((1 << (s + k)), q) + rest
         )
-        s += 2
-    if s < log_n:
-        m = n >> s
-        half = m >> 1
-        tw = tw_full[:: 1 << s].reshape((1, half) + bcast)
-        t = x[:, :half]
-        u = x[:, half:]
-        top = F.add(t, u)
-        bot = F.mul(F.sub(t, u), tw)
-        x = jnp.concatenate([top, bot], axis=1).reshape(
-            (2 << s, half) + rest
-        )
+        s += k
     return x.reshape((n,) + rest)
 
 
