@@ -49,3 +49,50 @@ def test_sharded_merkle_bit_identical(mesh, rng):
     assert root == ref.root_std
     for got, want in zip(layers, ref.layers):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_full_prove_sharded_bit_identical(mesh, rng):
+    """VERDICT r1 #10: the WHOLE prover (commit + quotient + FRI commit
+    phase + query phase) under the mesh, proof bit-identical to
+    single-chip. The host transcript is replicated; every device kernel
+    runs SPMD via GSPMD propagation from the sharded trace."""
+    import dataclasses
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from plonky3_tpu.fields import KoalaBear as F, KoalaBearExt4 as E
+    from plonky3_tpu.fri.config import FriParameters
+    from plonky3_tpu.models.fibonacci import (
+        FibonacciAir,
+        generate_fibonacci_trace,
+    )
+    from plonky3_tpu.stark.config import poseidon2_stark_config
+    from plonky3_tpu.stark.prover import prove
+    from plonky3_tpu.stark.verifier import verify
+    config = poseidon2_stark_config(F, E, FriParameters.new_testing())
+    air = FibonacciAir(F)
+    rows, publics = generate_fibonacci_trace(F, 6)
+    trace_host = F.to_monty_np(rows)
+
+    trace_single = jnp.asarray(trace_host)
+    proof_single = prove(config, air, trace_single, publics)
+
+    sharding = NamedSharding(mesh, P("sp", None))
+    trace_sharded = jax.device_put(trace_host, sharding)
+    proof_sharded = prove(config, air, trace_sharded, publics)
+
+    verify(config, air, proof_sharded, publics)
+    assert proof_single.commitments == proof_sharded.commitments
+    assert proof_single.opened_values == proof_sharded.opened_values
+    import dataclasses as _dc
+
+    def flat(x):
+        if _dc.is_dataclass(x):
+            return {k: flat(v) for k, v in vars(x).items()}
+        if isinstance(x, (list, tuple)):
+            return [flat(v) for v in x]
+        return x
+
+    assert flat(proof_single.opening_proof) == flat(
+        proof_sharded.opening_proof
+    )
