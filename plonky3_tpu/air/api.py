@@ -32,14 +32,27 @@ class BaseAir:
         """Optional hint (air/src/air.rs); None = infer symbolically."""
         return None
 
+    def periodic_columns(self):
+        """Periodic table data (air/src/air.rs:36-62): lists of std-form
+        ints, each a power-of-two length dividing the trace length; both
+        sides derive the values, nothing is committed."""
+        return []
 
-def _make_builder(backend, width, num_public, entry, public_entry):
+    def main_next_row_columns(self):
+        """Columns whose next-row entries the constraints read
+        (air/src/air.rs:102+). None = all (open at zeta AND zeta_next);
+        an empty list lets the prover/verifier open main at zeta only."""
+        return None
+
+
+def _make_builder(backend, width, num_public, entry, public_entry,
+                  num_periodic=0, periodic_entry=None):
     main = RowWindow(
         local=[Sym(backend, entry("local", j)) for j in range(width)],
         next=[Sym(backend, entry("next", j)) for j in range(width)],
     )
     publics = [Sym(backend, public_entry(j)) for j in range(num_public)]
-    return AirBuilder(
+    b = AirBuilder(
         backend,
         main,
         publics,
@@ -47,6 +60,12 @@ def _make_builder(backend, width, num_public, entry, public_entry):
         is_last_row=Sym(backend, entry("is_last_row", 0)),
         is_transition=Sym(backend, entry("is_transition", 0)),
     )
+    # periodic columns (air/src/air.rs:28-99): derived public values,
+    # never committed; exposed as builder.periodic[j]
+    b.periodic = [
+        Sym(backend, periodic_entry(j)) for j in range(num_periodic)
+    ] if periodic_entry is not None else []
+    return b
 
 
 def get_symbolic_layout(air: BaseAir):
@@ -57,7 +76,9 @@ def get_symbolic_layout(air: BaseAir):
         return 0 if kind == "is_transition" else 1
 
     builder = _make_builder(
-        backend, air.width, air.num_public_values, entry, lambda j: 0
+        backend, air.width, air.num_public_values, entry, lambda j: 0,
+        num_periodic=len(air.periodic_columns()),
+        periodic_entry=lambda j: 1,  # degree of f(X^r) < n
     )
     air.eval(builder)
     degs = backend.constraint_degrees
@@ -98,9 +119,14 @@ def check_constraints(air: BaseAir, trace_std: np.ndarray, public_values):
         return {"is_first_row": first, "is_last_row": last,
                 "is_transition": trans}[kind]
 
+    pcols = air.periodic_columns()
     builder = _make_builder(
         backend, air.width, air.num_public_values, entry,
         lambda j: np.full(n, public_values[j] % air.field.P, np.uint64),
+        num_periodic=len(pcols),
+        periodic_entry=lambda j: np.asarray(
+            [pcols[j][i % len(pcols[j])] for i in range(n)], np.uint64
+        ),
     )
     air.eval(builder)
     return backend.failures

@@ -203,6 +203,9 @@ class SymbolicBackend:
     def const(self, c):
         return 0
 
+    def const_vec(self, values):
+        return [0] * len(values)
+
     def add(self, a, b):
         return _ew(max, a, b)
 
@@ -242,6 +245,16 @@ class ProverBackend:
 
     def const(self, c):
         return self.F.const(c)
+
+    def const_vec(self, values):
+        # (L, 1): broadcasts against lane-stacked (L, Nq) values
+        import numpy as _np
+
+        return jnp.asarray(
+            self.F.to_monty_np(
+                _np.asarray(values, dtype=_np.uint64).astype(_np.uint32)
+            ).reshape(-1, 1)
+        )
 
     def add(self, a, b):
         return self.F.add(a, b)
@@ -303,6 +316,9 @@ class VerifierBackend:
     def const(self, c):
         return self.E.from_base_h(c)
 
+    def const_vec(self, values):
+        return [self.E.from_base_h(int(v)) for v in values]
+
     def add(self, a, b):
         return _ew(self.E.add_h, a, b)
 
@@ -339,6 +355,11 @@ class DebugBackend:
 
     def const(self, c):
         return np.full(self.n, c % self.F.P, dtype=np.uint64)
+
+    def const_vec(self, values):
+        # lane-stacked values are LISTS here (stack = list), so the
+        # constant vector is one broadcastable scalar per lane
+        return [np.uint64(int(v) % self.F.P) for v in values]
 
     def add(self, a, b):
         return _ew(lambda x, y: (x + y) % np.uint64(self.F.P), a, b)

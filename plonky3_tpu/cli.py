@@ -115,6 +115,38 @@ def cmd_prove(args):
             f"objective: {n_perms} Poseidon2-16 permutations "
             f"({vector_len}/row x 2^{log_n} rows, width {air.width})"
         )
+    elif args.objective == "keccak-f-permutations":
+        from .models.keccak_air import KeccakAir, generate_keccak_trace
+
+        air = KeccakAir(F)
+        rng = np.random.default_rng(1)
+        n_perms = max((1 << log_n) // 24, 1)
+        inputs = rng.integers(0, 1 << 64, size=(n_perms, 25),
+                              dtype=np.uint64)
+        with spans.span("generate trace (host)"):
+            rows = generate_keccak_trace(F, inputs)
+            trace = jnp.asarray(F.to_monty_np(rows))
+        publics = []
+        print(
+            f"objective: {n_perms} keccak-f[1600] permutations "
+            f"(24 rows each, width {air.width})"
+        )
+    elif args.objective == "blake3-permutations":
+        from .models.blake3_air import Blake3Air, generate_blake3_trace
+
+        air = Blake3Air(F)
+        rng = np.random.default_rng(1)
+        n_perms = 1 << log_n
+        inputs = rng.integers(0, 1 << 32, size=(n_perms, 24),
+                              dtype=np.uint64).astype(np.uint32)
+        with spans.span("generate trace (host)"):
+            rows = generate_blake3_trace(F, inputs)
+            trace = jnp.asarray(F.to_monty_np(rows))
+        publics = []
+        print(
+            f"objective: {n_perms} blake3 compressions "
+            f"(1 row each, width {air.width})"
+        )
     elif args.objective == "fibonacci":
         air = FibonacciAir(F)
         with spans.span("generate trace (host)"):
@@ -274,7 +306,9 @@ def main(argv=None):
     p.add_argument("--field", default="koala-bear",
                    choices=["koala-bear", "baby-bear", "mersenne-31"])
     p.add_argument("--objective", default="poseidon-2-permutations",
-                   choices=["poseidon-2-permutations", "fibonacci"])
+                   choices=["poseidon-2-permutations", "fibonacci",
+                            "keccak-f-permutations",
+                            "blake3-permutations"])
     p.add_argument("--log-trace-length", type=int, default=10)
     p.add_argument("--log-vector-len", type=int, default=3)
     p.add_argument("--fri", default="benchmark-high-arity",

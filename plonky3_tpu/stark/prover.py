@@ -71,13 +71,66 @@ def quotient_values(
                 return nxt[:, j]
             return sels[kind]
 
+        pcols = air.periodic_columns()
+        pv = (
+            periodic_on_coset(F, pcols, trace_domain, quotient_domain)
+            if pcols
+            else None
+        )
         builder = _make_builder(
             backend, air.width, air.num_public_values, entry,
             lambda j: publics_m[j],
+            num_periodic=len(pcols),
+            periodic_entry=(lambda j: pv[:, j]) if pcols else None,
         )
         air.eval(builder)
         folded = backend.finalize((Nq,))  # (Nq, D)
     return E.base_mul(sels["inv_vanishing"], folded)
+
+
+def periodic_coeffs(F, col):
+    """Host-exact inverse DFT of one period (p small)."""
+    p = len(col)
+    assert p & (p - 1) == 0, "periodic column length must be a power of 2"
+    g_inv = F.inv_h(F.two_adic_generator_h(p.bit_length() - 1)) if p > 1 else 1
+    p_inv = F.inv_h(p)
+    coeffs = []
+    for k in range(p):
+        acc, x, xp = 0, F.exp_h(g_inv, k), 1
+        for i in range(p):
+            acc = (acc + col[i] * xp) % F.P
+            xp = F.mul_h(xp, x)
+        coeffs.append(F.mul_h(acc, p_inv))
+    return coeffs
+
+
+def periodic_on_coset(F, pcols, trace_domain, quotient_domain):
+    """(Nq, k) device Monty values of each periodic extension f(X^r)
+    over the quotient coset (prover.rs:434 build_periodic_lde_table):
+    f has period p, r = n/p; over the coset s·<g_Nq> the composed values
+    cycle with period Nq/r, so one small coset evaluation tiles up."""
+    from ..ops.ntt import coset_evals_from_coeffs
+    from ..utils.bits import bitrev_permute_axis0
+
+    n = trace_domain.size
+    Nq = quotient_domain.size
+    s = quotient_domain.shift
+    cols = []
+    for col in pcols:
+        p = len(col)
+        assert p <= n and n % p == 0
+        r = n // p
+        small = Nq // r
+        coeffs = periodic_coeffs(F, col)
+        cm = jnp.asarray(
+            F.to_monty_np(np.asarray(coeffs, dtype=np.uint32))
+        ).reshape(p, 1)
+        ev_br = coset_evals_from_coeffs(
+            F, cm, (small // p).bit_length() - 1, F.exp_h(s, r)
+        )
+        ev = bitrev_permute_axis0(ev_br, small.bit_length() - 1)[:, 0]
+        cols.append(jnp.tile(ev, r))
+    return jnp.stack(cols, axis=1)
 
 
 def prove(

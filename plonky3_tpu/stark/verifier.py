@@ -129,9 +129,25 @@ def verify(
             return ov.trace_next[j]
         return sels[kind]
 
+    pcols = air.periodic_columns()
+
+    def periodic_at_zeta(j):
+        from .prover import periodic_coeffs
+
+        col = pcols[j]
+        p = len(col)
+        r = (1 << log_n) // p
+        z_r = E.exp_h(zeta, r)
+        acc = E.zero_h()
+        for c in reversed(periodic_coeffs(F, col)):
+            acc = E.add_h(E.mul_h(acc, z_r), E.from_base_h(c))
+        return acc
+
     builder = _make_builder(
         backend, air.width, air.num_public_values, entry,
         lambda j: E.from_base_h(public_values[j]),
+        num_periodic=len(pcols),
+        periodic_entry=periodic_at_zeta if pcols else None,
     )
     air.eval(builder)
     folded = backend.acc
