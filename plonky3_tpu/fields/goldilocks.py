@@ -127,3 +127,81 @@ class GoldilocksField:
 
 
 Goldilocks = GoldilocksField()
+
+
+@dataclass(frozen=True)
+class GoldilocksExt2:
+    """Binomial degree-2 extension X^2 - 7 (goldilocks/src/extension.rs:
+    22-48): W = 7, DTH_ROOT = W^((p-1)/2), EXT_TWO_ADICITY = 33 with the
+    vendored order-2^33 generator. Host-exact ops over (a0, a1) tuples."""
+
+    base = None  # set below
+    D: int = 2
+    W: int = 7
+    DTH_ROOT: int = 18446744069414584320
+    EXT_GENERATOR = (18081566051660590251, 16121475356294670766)
+    EXT_TWO_ADICITY: int = 33
+
+    @property
+    def P(self):
+        return Goldilocks.P
+
+    def zero_h(self):
+        return (0, 0)
+
+    def one_h(self):
+        return (1, 0)
+
+    def from_base_h(self, x):
+        return (int(x) % Goldilocks.P, 0)
+
+    def add_h(self, a, b):
+        p = Goldilocks.P
+        return ((a[0] + b[0]) % p, (a[1] + b[1]) % p)
+
+    def sub_h(self, a, b):
+        p = Goldilocks.P
+        return ((a[0] - b[0]) % p, (a[1] - b[1]) % p)
+
+    def neg_h(self, a):
+        p = Goldilocks.P
+        return ((-a[0]) % p, (-a[1]) % p)
+
+    def mul_h(self, a, b):
+        p = Goldilocks.P
+        c0 = (a[0] * b[0] + self.W * a[1] * b[1]) % p
+        c1 = (a[0] * b[1] + a[1] * b[0]) % p
+        return (c0, c1)
+
+    def base_mul_h(self, s, a):
+        p = Goldilocks.P
+        return (s * a[0] % p, s * a[1] % p)
+
+    def exp_h(self, a, e):
+        acc = self.one_h()
+        for bit in bin(int(e))[2:]:
+            acc = self.mul_h(acc, acc)
+            if bit == "1":
+                acc = self.mul_h(acc, a)
+        return acc
+
+    def frobenius_h(self, a):
+        """a -> a^p: (a0, DTH_ROOT·a1)."""
+        return (a[0], self.DTH_ROOT * a[1] % Goldilocks.P)
+
+    def inv_h(self, a):
+        """Norm-based inverse: a^-1 = frob(a) / N(a)."""
+        p = Goldilocks.P
+        conj = self.frobenius_h(a)
+        norm = self.mul_h(a, conj)[0]  # base field
+        ninv = pow(norm, p - 2, p)
+        return self.base_mul_h(ninv, conj)
+
+    def two_adic_generator_h(self, bits):
+        assert bits <= self.EXT_TWO_ADICITY
+        if bits == 33:
+            return (0, 15659105665374529263)
+        return (Goldilocks.two_adic_generator_h(bits), 0)
+
+
+GoldilocksExt2Field = GoldilocksExt2()
