@@ -316,12 +316,20 @@ class TwoAdicFriPcs:
                         log_h, jnp.zeros((h, E.D), jnp.uint32)
                     )
                     nr = num_reduced.get(log_h, 0)
-                    # Mred(z) on host
-                    mred_z = E.zero_h()
-                    ap = E.one_h()
-                    for y in ys:
-                        mred_z = E.add_h(mred_z, E.mul_h(ap, y))
-                        ap = E.mul_h(ap, alpha)
+                    # Mred(z) on host, vectorized: Σ_j alpha^j · ys_j
+                    ys_m = F.to_monty_np(
+                        np.asarray(ys, dtype=np.uint64).astype(np.uint32)
+                    )
+                    prods = E.mul_np(alpha_pows[: len(ys)], ys_m)
+                    mred_z = tuple(
+                        int(v)
+                        for v in F.from_monty_np(
+                            (
+                                prods.astype(np.uint64).sum(axis=0)
+                                % np.uint64(F.P)
+                            ).astype(np.uint32)
+                        )
+                    )
                     alpha_off = E.exp_h(alpha, nr)
                     reduced[log_h] = _accum_kernel(
                         E, acc,

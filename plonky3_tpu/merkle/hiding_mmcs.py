@@ -66,6 +66,14 @@ class MerkleTreeHidingMmcs:
     def open_multi_batch(self, data, indices):
         return self.inner.open_multi_batch(data, indices)
 
+    # PullBatcher protocol: straight delegation (salt columns are part
+    # of the committed matrices, so inner rows already carry them)
+    def _omb_plan(self, data, indices):
+        return self.inner._omb_plan(data, indices)
+
+    def _omb_finish(self, data, plan, pulled):
+        return self.inner._omb_finish(data, plan, pulled)
+
     def salted_dims(self, dims):
         return [(h, w + self.salt_elems) for (h, w) in dims]
 
