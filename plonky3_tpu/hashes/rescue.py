@@ -161,3 +161,124 @@ class RpoKoalaBear:
             x = exp(x, self.alpha_inv)
         x = (mds_mul(x) + rcs[2 * self.num_rounds * w :]) % P
         return x.astype(np.uint32)
+
+
+def _mds_coeff_host(P, coeff, state):
+    """Dense MDS with an explicit coefficient function C[i][j]."""
+    w = len(state)
+    return [
+        sum(coeff(i, j) * state[j] for j in range(w)) % P for i in range(w)
+    ]
+
+
+@dataclass(frozen=True)
+class RpoGeneric:
+    """RPO over an arbitrary prime field with an explicit MDS coefficient
+    rule (rpo/{baby_bear,mersenne_31,goldilocks}.rs): per round
+    MDS -> ARK -> x^alpha -> MDS -> ARK -> x^(1/alpha), then a concluding
+    MDS + ARK layer. Round constants from SHAKE-256 of the per-field seed
+    (little-endian chunks mod p)."""
+
+    P: int
+    width: int
+    alpha: int
+    seed: bytes
+    bytes_per_constant: int
+    coeff: object  # (i, j) -> int
+    num_rounds: int = 7
+    final_layer: bool = True  # concluding MDS+ARK (absent for the
+    # Miden-interoperable Goldilocks instance, rpo/goldilocks.rs:71)
+
+    def __post_init__(self):
+        class _F:
+            P = self.P
+
+        rcs = shake_round_constants(
+            _F, self.seed, self.width, self.num_rounds,
+            self.bytes_per_constant, self.final_layer,
+        )
+        object.__setattr__(self, "rcs", rcs)
+        object.__setattr__(
+            self, "alpha_inv", pow(self.alpha, -1, self.P - 1)
+        )
+
+    def permute_host(self, state):
+        P, w = self.P, self.width
+        rcs = self.rcs
+        state = [x % P for x in state]
+        for r in range(self.num_rounds):
+            state = _mds_coeff_host(P, self.coeff, state)
+            state = [
+                (x + rcs[2 * r * w + i]) % P for i, x in enumerate(state)
+            ]
+            state = [pow(x, self.alpha, P) for x in state]
+            state = _mds_coeff_host(P, self.coeff, state)
+            state = [
+                (x + rcs[(2 * r + 1) * w + i]) % P
+                for i, x in enumerate(state)
+            ]
+            state = [pow(x, self.alpha_inv, P) for x in state]
+        if self.final_layer:
+            state = _mds_coeff_host(P, self.coeff, state)
+            state = [
+                (x + rcs[2 * self.num_rounds * w + i]) % P
+                for i, x in enumerate(state)
+            ]
+        return state
+
+
+# BabyBear: width 24, alpha 7, the BB 24-circulant MDS
+# (baby-bear/src/mds.rs:21, rpo/baby_bear.rs:14-26)
+_BB_MDS_ROW_24 = (
+    0x2D0AAAAB, 0x64850517, 0x17F5551D, 0x04ECBEB5, 0x6D91A8D5,
+    0x60703026, 0x18D6F3CA, 0x729601A7, 0x77CDA9E2, 0x3C0F5038,
+    0x26D52A61, 0x0360405D, 0x68FC71C8, 0x2495A71D, 0x5D57AFC2,
+    0x1689DD98, 0x3C2C3DBE, 0x0C23DC41, 0x0524C7F2, 0x6BE4DF69,
+    0x0A6E572C, 0x5C7790FA, 0x17E118F6, 0x0878A07F,
+)
+
+
+def rpo_baby_bear():
+    return RpoGeneric(
+        P=2013265921, width=24, alpha=7,
+        seed=b"RPO-BB:p=2013265921,m=24,c=8,n=7",
+        bytes_per_constant=5,
+        coeff=lambda i, j: _BB_MDS_ROW_24[(j - i) % 24],
+    )
+
+
+# Mersenne31: width 24, alpha 5, a 24x24 slice of a 32-circulant
+# (rpo/mersenne_31.rs:17-32; seed uses U+2011 NON-BREAKING HYPHEN)
+_M31_MDS_ROW_32 = (
+    185870542, 2144994796, 1696461115, 215190769, 930115258, 766567118,
+    2003379079, 1770558586, 1779722644, 434368282, 289154277, 1979813463,
+    1436360233, 1342944808, 63026005, 903393155, 1512525948, 105409451,
+    1072974295, 979558870, 436105640, 2126764826, 1981550821, 636196459,
+    645360517, 412540024, 1649351985, 1485803845, 53244687, 719457988,
+    270924307, 82564914,
+)
+
+
+def rpo_mersenne31():
+    return RpoGeneric(
+        P=(1 << 31) - 1, width=24, alpha=5,
+        seed="RPO‑M31:p=2147483647,m=24,c=8,n=7".encode("utf-8"),
+        bytes_per_constant=5,
+        coeff=lambda i, j: _M31_MDS_ROW_32[(j + 32 - i) % 32],
+    )
+
+
+# Goldilocks: width 12, alpha 7, the RPO-paper circulant (interoperable
+# with Miden's RPO; rpo/goldilocks.rs:12-68,330)
+_GL_MDS_ROW_12 = (7, 23, 8, 26, 13, 10, 9, 7, 6, 22, 21, 8)
+
+
+def rpo_goldilocks():
+    p = (1 << 64) - (1 << 32) + 1
+    return RpoGeneric(
+        P=p, width=12, alpha=7,
+        seed=f"RPO({p},12,4,128)".encode(),
+        bytes_per_constant=9,
+        coeff=lambda i, j: _GL_MDS_ROW_12[(j - i) % 12],
+        final_layer=False,
+    )

@@ -70,3 +70,44 @@ def test_sha256_compress_device_lockstep(rng):
         host = sha_compress(np, st, blk)
     dev = np.asarray(sha_compress(jnp, jnp.asarray(st), jnp.asarray(blk)))
     np.testing.assert_array_equal(dev, host)
+
+
+def test_rpo_baby_bear_kat():
+    """rpo/baby_bear.rs:184 reference vector."""
+    from plonky3_tpu.hashes.rescue import rpo_baby_bear
+
+    out = rpo_baby_bear().permute_host(list(range(24)))
+    assert out == [
+        580889464, 812545993, 1435256485, 1944190928, 468280959,
+        1574957037, 614259202, 1971827593, 1157818138, 41725352,
+        1454051006, 1975269624, 1052998898, 1151877439, 1238988248,
+        973164623, 1378588581, 1290093470, 599149080, 819216820,
+        1015689941, 1980884825, 607611746, 918354105,
+    ]
+
+
+def test_rpo_mersenne31_kat():
+    """rpo/mersenne_31.rs:332 reference vector."""
+    from plonky3_tpu.hashes.rescue import rpo_mersenne31
+
+    out = rpo_mersenne31().permute_host(list(range(24)))
+    assert out == [
+        1990425063, 95513650, 1492148912, 1455268556, 347571427,
+        1892690094, 34080484, 1175631837, 1348619901, 1096114017,
+        310913313, 1912324205, 609442899, 2112777835, 1331189849,
+        507241525, 1800223977, 568712449, 2123164950, 86025361,
+        1585828474, 1334334486, 188486534, 1147991035,
+    ]
+
+
+def test_rpo_goldilocks_kat():
+    """rpo/goldilocks.rs:338 vector (interoperable with Miden RPO)."""
+    from plonky3_tpu.hashes.rescue import rpo_goldilocks
+
+    out = rpo_goldilocks().permute_host(list(range(12)))
+    assert out == [
+        15056646954853821376, 594518210294093573, 10395398226526937664,
+        3903707756219396109, 7670128982698747483, 4249514323476682720,
+        16506822133651532340, 10593868791806571942, 9413309068803954142,
+        15946782832277734471, 7904287043744270535, 16548919317472389167,
+    ]
