@@ -168,3 +168,39 @@ def test_grind_and_check(bits):
 def test_grind_zero_bits():
     c = fresh_challenger()
     assert c.grind(0) == 0
+
+
+def test_hash_challenger_generic():
+    """challenger/src/hash_challenger.rs semantics over the Poseidon2
+    sponge: chained digests, end-pop sampling, observe clears output."""
+    from plonky3_tpu.challenger.hash_challenger import HashChallenger
+    from plonky3_tpu.hashes.poseidon2 import default_poseidon2
+    from plonky3_tpu.hashes.sponge import PaddingFreeSponge
+    from plonky3_tpu.fields.params import KoalaBear as F
+
+    sponge = PaddingFreeSponge(default_poseidon2(F, 24), rate=16, out=8)
+    a = HashChallenger(sponge, F)
+    b = HashChallenger(sponge, F)
+    for v in (1, 2, 3):
+        a.observe(v)
+        b.observe(v)
+    s = [a.sample() for _ in range(10)]
+    assert s == [b.sample() for _ in range(10)]
+    assert all(0 <= x < F.P for x in s)
+    # observing invalidates pending outputs
+    c = HashChallenger(sponge, F)
+    c.observe(1)
+    c.sample()
+    c.observe(2)
+    d = HashChallenger(sponge, F)
+    d.observe(1)
+    d.sample()
+    d.observe(3)
+    assert c.sample() != d.sample()
+    # grind + check_witness round-trip
+    e = HashChallenger(sponge, F)
+    e.observe(5)
+    w = e.grind(4)
+    v = HashChallenger(sponge, F)
+    v.observe(5)
+    assert v.check_witness(4, w)
