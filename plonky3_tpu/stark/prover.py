@@ -208,9 +208,14 @@ def prove(
     zeta = ch.sample_ext(E.D)
     zeta_next = trace_domain.next_point_ext(E, zeta)
 
+    # AIRs that never read an offset-1 main entry declare it
+    # (air/src/air.rs main_next_row_columns): the trace then opens at
+    # zeta only, shrinking the proof and the ys work.
+    uses_next = air.main_next_row_columns() != []
+    trace_points = [zeta, zeta_next] if uses_next else [zeta]
     opened, fri_proof = pcs.open(
         [
-            (trace_data, [[zeta, zeta_next]]),
+            (trace_data, [trace_points]),
             (quotient_data, [[zeta]] * num_chunks),
         ],
         ch,
@@ -224,7 +229,7 @@ def prove(
         ),
         opened_values=OpenedValues(
             trace_local=opened[0][0][0],
-            trace_next=opened[0][0][1],
+            trace_next=opened[0][0][1] if uses_next else None,
             quotient_chunks=[opened[1][i][0] for i in range(num_chunks)],
         ),
         opening_proof=fri_proof,

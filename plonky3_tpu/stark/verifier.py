@@ -41,9 +41,13 @@ def verify(
     num_chunks = 1 << log_num_chunks
 
     ov = proof.opened_values
+    uses_next = air.main_next_row_columns() != []
     if (
         len(ov.trace_local) != air.width
-        or len(ov.trace_next) != air.width
+        or (uses_next and (
+            ov.trace_next is None or len(ov.trace_next) != air.width
+        ))
+        or (not uses_next and ov.trace_next is not None)
         or len(ov.quotient_chunks) != num_chunks
         or any(len(ch) != E.D for ch in ov.quotient_chunks)
     ):
@@ -73,9 +77,10 @@ def verify(
     if trace_domain.vanishing_poly_at_point_ext(E, zeta) == E.zero_h():
         raise VerificationError("OodPointInDomain")
 
-    coords = [
-        (trace_domain, [(zeta, ov.trace_local), (zeta_next, ov.trace_next)])
-    ]
+    trace_claims = [(zeta, ov.trace_local)]
+    if uses_next:
+        trace_claims.append((zeta_next, ov.trace_next))
+    coords = [(trace_domain, trace_claims)]
     quotient_coords = [
         (dom, [(zeta, vals)])
         for dom, vals in zip(chunk_domains, ov.quotient_chunks)
@@ -126,6 +131,11 @@ def verify(
         if kind == "local":
             return ov.trace_local[j]
         if kind == "next":
+            if ov.trace_next is None:
+                # AIR declared no next-row reads; builders still
+                # construct the window eagerly, so hand back zeros
+                # (the declared AIR's constraints never read them)
+                return E.zero_h()
             return ov.trace_next[j]
         return sels[kind]
 

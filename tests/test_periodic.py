@@ -70,3 +70,26 @@ def test_periodic_e2e_rejects_wrong_pattern():
     proof = prove(config, air, trace, [])
     with pytest.raises(VerificationError):
         verify(config, air, proof, [])
+
+
+class NoNextRowAir(PeriodicAir):
+    """Same constraints (current-row only) + the declaration that lets
+    the prover open the trace at zeta alone (air.rs
+    main_next_row_columns)."""
+
+    def main_next_row_columns(self):
+        return []
+
+
+def test_no_next_row_opening():
+    config = poseidon2_stark_config(F, E, FriParameters.new_testing())
+    air = NoNextRowAir(F)
+    trace = jnp.asarray(F.to_monty_np(_trace(32)))
+    proof = prove(config, air, trace, [])
+    assert proof.opened_values.trace_next is None
+    verify(config, air, proof, [])
+    # a full-opening proof must NOT verify under the declared-air shape
+    full_air = PeriodicAir(F)
+    proof_full = prove(config, full_air, trace, [])
+    with pytest.raises(VerificationError):
+        verify(config, air, proof_full, [])
