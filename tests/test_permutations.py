@@ -96,3 +96,29 @@ def test_circulant_mds_paths_agree(rng):
     np.testing.assert_array_equal(F.from_monty_np(dev), hnp)
     host = mds.permute_host([int(v) for v in std[0]])
     assert [int(v) for v in hnp[0]] == host
+
+
+def test_monolith_goldilocks_width12_kat():
+    """HorizenLabs Monolith-64 reference vector
+    (monolith/src/monolith.rs:304-336, LOOKUP_BITS=8)."""
+    from plonky3_tpu.hashes.monolith import MonolithGoldilocks
+
+    out = MonolithGoldilocks(width=12).permute_host(list(range(12)))
+    assert out == [
+        5867581605548782913, 588867029099903233, 6043817495575026667,
+        805786589926590032, 9919982299747097782, 6718641691835914685,
+        7951881005429661950, 15453177927755089358, 974633365445157727,
+        9654662171963364206, 6281307445101925412, 13745376999934453119,
+    ]
+
+
+def test_monolith_goldilocks_width8_deterministic():
+    from plonky3_tpu.hashes.monolith import MonolithGoldilocks
+
+    m = MonolithGoldilocks(width=8)
+    a = m.permute_host(list(range(8)))
+    b = m.permute_host(list(range(8)))
+    assert a == b
+    assert a != list(range(8))
+    P = (1 << 64) - (1 << 32) + 1
+    assert all(0 <= x < P for x in a)
