@@ -85,12 +85,25 @@ def _dif(F: Monty31, x, log_n: int, inverse: bool):
     Stages run three-at-a-time as radix-8 bodies (identical arithmetic
     to three radix-2 stages, so the output is bit-for-bit unchanged):
     each fused body is one XLA pass, cutting full-array HBM round-trips
-    by 3x — the network is bandwidth-bound at 2^18×1312. (A pallas
-    four-step variant exists in ntt_pallas.py but loses to these XLA
-    passes: its in-VMEM butterflies pay tile relayouts every stage.)"""
+    by 3x — the network is bandwidth-bound at 2^18×1312.
+
+    On TPU, large 2-D transforms route to the pallas four-step kernel
+    pair in ntt_pallas.py (bit-identical output; two VMEM-resident
+    sub-transforms via sublane rolls instead of ~log n HBM passes —
+    24x faster at 2^18×1312)."""
     n = 1 << log_n
     if log_n == 0:
         return x
+    if (
+        x.ndim == 2
+        and log_n >= 13
+        and x.shape[1] >= 256  # narrow mats would pay 128-lane padding
+        and not isinstance(x, np.ndarray)
+        and jax.default_backend() == "tpu"
+    ):
+        from .ntt_pallas import dif_fused
+
+        return dif_fused(F, x, log_n, inverse)
     tw_full = _twiddles(F, log_n, inverse)
     rest = x.shape[1:]
     bcast = (1,) * len(rest)
