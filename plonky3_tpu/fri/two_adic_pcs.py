@@ -64,6 +64,111 @@ def _ys_kernel(E, mat, xs, inv_denom, factor_m):
     return E.mul(jnp.stack(comps, axis=-1), factor_m)  # (w, D)
 
 
+# Chunk height for the MXU ys path: f32 accumulation of u8·u4 products
+# is exact while chunk·255·15 < 2^24.
+_YS_CHUNK = 1 << 12
+
+
+@partial(jax.jit, static_argnames=("E", "log_n"))
+def _ext_powers_device(E, z_m, log_n: int):
+    """(2^log_n, D) monty table [1, z, z², ...] built by doubling concat
+    on device (shipping a host table through the tunnel costs far more
+    than the log n on-chip ext multiplies)."""
+    one = jnp.asarray(E.to_monty_np(E.one_h()), jnp.uint32)
+    if log_n == 0:
+        return one[None, :]
+    p = jnp.stack([one, z_m], axis=0)
+    for _ in range(1, log_n):
+        # p holds [z^0 .. z^(L-1)]; append p · z^L  (z^L = p[-1]·z)
+        p = jnp.concatenate([p, E.mul(p, E.mul(p[-1:], z_m[None, :]))],
+                            axis=0)
+    return p
+
+
+@partial(jax.jit, static_argnames=("E",))
+def _dot_cols_mxu(E, mat, wx):
+    """MXU column contraction Σ_i wx[i,d]·M[i,j] (monty in, monty out):
+    mat splits into four u8 planes, wx into eight u4 planes; bf16
+    matmuls accumulate exactly in f32 within 4096-row chunks (partials
+    < 2^24), chunks combine with mod-P adds, and the 32 limb partials
+    recombine with one Monty multiply by the raw constant 2^{8k+4l}
+    (R²·Σ / R = R·Σ — the Monty form of the true sum)."""
+    F = E.base
+    h, w = mat.shape
+    D = E.D
+    w4 = jnp.stack(
+        [(wx >> (4 * l)) & 0xF for l in range(8)], axis=-1
+    ).astype(jnp.bfloat16).reshape(h, D * 8)
+
+    chunk = min(h, _YS_CHUNK)
+    n_chunks = h // chunk
+
+    def body(args):  # (chunk, w) u32, (chunk, D·8) bf16
+        mchunk, wchunk = args
+        m8 = jnp.stack(
+            [(mchunk >> (8 * k)) & 0xFF for k in range(4)], axis=1
+        ).astype(jnp.bfloat16).reshape(chunk, 4 * w)
+        part = jnp.dot(
+            wchunk.T, m8, preferred_element_type=jnp.float32
+        )  # (D·8, 4·w): one MXU matmul per chunk
+        return part.astype(jnp.uint32)
+
+    if n_chunks == 1:
+        acc = body((mat, w4))
+    else:
+        parts = jax.lax.map(
+            body,
+            (mat.reshape(n_chunks, chunk, w),
+             w4.reshape(n_chunks, chunk, D * 8)),
+        )
+        acc = parts[0]
+        for c in range(1, n_chunks):
+            acc = F.add(acc, parts[c])
+    acc = acc.reshape(D, 8, 4, w)
+    out = None
+    for k in range(4):
+        for l in range(8):
+            c = jnp.uint32((1 << (8 * k + 4 * l)) % F.P)
+            term = F.mul(acc[:, l, k, :], c)
+            out = term if out is None else F.add(out, term)
+    return out.T  # (w, D)
+
+
+@partial(jax.jit, static_argnames=("E",))
+def _dot_cols(E, mat, wx):
+    """VPU fallback for _dot_cols_mxu (short matrices)."""
+    F = E.base
+    comps = [
+        F.sum(F.mul(wx[:, d : d + 1], mat), axis=0) for d in range(E.D)
+    ]
+    return jnp.stack(comps, axis=-1)  # (w, D)
+
+
+def _eval_coeffs(E, coeffs, zpow):
+    """p(z) = Σ_i a_i·(z/g)^i from the PCS-retained scaled coefficients
+    (uniform z' = z/g for every committed matrix: rows live on gK, so
+    the opened interpolant is r(x) = q(x·shift'/g) and
+    r(z) = Σ a_i (z/g)^i regardless of the input domain's shift)."""
+    h = coeffs.shape[0]
+    if h >= (1 << 13):
+        return _dot_cols_mxu(E, coeffs, zpow[:h])
+    return _dot_cols(E, coeffs, zpow[:h])
+
+
+@partial(jax.jit, static_argnames=("E",))
+def _ys_kernel_mxu(E, mat, xs, inv_denom, factor_m):
+    """MXU path for the barycentric column evals (see _dot_cols_mxu)."""
+    wx = E.base_mul(xs, inv_denom)  # (h, D) monty
+    return E.mul(_dot_cols_mxu(E, mat, wx), factor_m)
+
+
+def _ys(E, mat, xs, inv_denom, factor_m):
+    """Dispatch: MXU limb path for tall matrices, else VPU."""
+    if mat.shape[0] >= (1 << 13):
+        return _ys_kernel_mxu(E, mat, xs, inv_denom, factor_m)
+    return _ys_kernel(E, mat, xs, inv_denom, factor_m)
+
+
 @partial(jax.jit, static_argnames=("E",))
 def _mred_kernel(E, mat, ap_dev):
     """Mred(x) = Σ_j alpha^j·M[x, j] — the rowwise_packed_dot_product
@@ -176,17 +281,25 @@ class TwoAdicFriPcs:
         """
         ldes = []
         domains = []
+        coeffs = []
         for domain, evals in evaluations:
             assert evals.shape[0] == domain.size
             shift = self.F.mul_h(
                 self.F.GENERATOR, self.F.inv_h(domain.shift)
             )
-            ldes.append(
-                coset_lde_batch(self.F, evals, self.fri.log_blowup, shift)
+            lde, cf = coset_lde_batch(
+                self.F, evals, self.fri.log_blowup, shift,
+                with_coeffs=True,
             )
+            ldes.append(lde)
+            coeffs.append(cf)
             domains.append(domain)
         data = self.mmcs.commit(ldes)
         data.domains = domains
+        # scaled coefficients a_i = c_i·shift^i per matrix: open() turns
+        # each (mat, ζ) into one MXU dot Σ a_i·(ζ/g)^i instead of a
+        # barycentric pass over the (blowup× taller) LDE
+        data.coeffs = coeffs
         return data
 
     def get_evaluations_on_domain(self, data, mat_index: int, domain: TwoAdicCoset):
@@ -245,42 +358,77 @@ class TwoAdicFriPcs:
             log_global_max_height,
         )
 
-        # 1/(z - x) per unique opening point, at its max needed height
+        # max height each opening point is used at (drives the 1/(z-x)
+        # tables the reduced-opening accumulation needs)
         max_h_for_point = {}
         for data, points in data_with_points:
             for mat, pts in zip(_poly_mats(data), points):
                 for z in pts:
                     h = mat.shape[0]
                     max_h_for_point[z] = max(max_h_for_point.get(z, 0), h)
-        inv_denoms = {}
-        for z, h in max_h_for_point.items():
-            zc = jnp.asarray(E.to_monty_np(z))
-            inv_denoms[z] = _inv_denom_kernel(E, zc, xs_br[:h])
 
-        # column evaluations ys by barycentric interpolation: launch every
-        # kernel first (async), fetch ALL results in one round-trip, then
-        # observe in transcript order (each separate pull costs ~30 ms of
-        # tunnel latency).
+        # column evaluations ys: launch every kernel first (async), fetch
+        # ALL results in one round-trip, then observe in transcript order
+        # (each separate pull costs ~30 ms of tunnel latency).
         from ..utils.transfer import pull_all
 
+        use_coeffs = all(
+            getattr(data, "coeffs", None) is not None
+            for data, _ in data_with_points
+        )
         ys_devs = []
-        for data, points in data_with_points:
-            for mat, pts in zip(_poly_mats(data), points):
-                h = mat.shape[0]
-                n_std = h  # coset size
-                for z in pts:
-                    # scale by (z^n - s^n)/(n·s^n), s = GENERATOR
-                    s_pow_n = F.exp_h(F.GENERATOR, n_std)
-                    zn = E.exp_h(z, n_std)
-                    factor = E.base_mul_h(
-                        F.inv_h(F.mul_h(n_std, s_pow_n)),
-                        E.sub_h(zn, E.from_base_h(s_pow_n)),
-                    )
-                    ys_devs.append(_ys_kernel(
-                        E, mat, xs_br[:h], inv_denoms[z][:h],
-                        jnp.asarray(E.to_monty_np(factor)),
-                    ))
+        if use_coeffs:
+            # one MXU dot per (matrix, point): ys = Σ_i a_i·(z/g)^i over
+            # the commit-retained scaled coefficients — no barycentric
+            # pass over the LDE, no 1/(z-x) on this critical path
+            g_inv = F.inv_h(F.GENERATOR)
+            zpows = {}
+            for z, h in max_h_for_point.items():
+                zg = E.base_mul_h(g_inv, z)
+                zpows[z] = _ext_powers_device(
+                    E, jnp.asarray(E.to_monty_np(zg)),
+                    log2_strict(h) - lb,
+                )
+            for data, points in data_with_points:
+                for cf, pts in zip(data.coeffs, points):
+                    for z in pts:
+                        ys_devs.append(_eval_coeffs(E, cf, zpows[z]))
+        else:
+            inv_denoms = {
+                z: _inv_denom_kernel(
+                    E, jnp.asarray(E.to_monty_np(z)), xs_br[:h]
+                )
+                for z, h in max_h_for_point.items()
+            }
+            for data, points in data_with_points:
+                for mat, pts in zip(_poly_mats(data), points):
+                    h = mat.shape[0]
+                    n_std = h  # coset size
+                    for z in pts:
+                        # scale by (z^n - s^n)/(n·s^n), s = GENERATOR
+                        s_pow_n = F.exp_h(F.GENERATOR, n_std)
+                        zn = E.exp_h(z, n_std)
+                        factor = E.base_mul_h(
+                            F.inv_h(F.mul_h(n_std, s_pow_n)),
+                            E.sub_h(zn, E.from_base_h(s_pow_n)),
+                        )
+                        ys_devs.append(_ys(
+                            E, mat, xs_br[:h], inv_denoms[z][:h],
+                            jnp.asarray(E.to_monty_np(factor)),
+                        ))
         ys_all = iter(pull_all(ys_devs))
+
+        if use_coeffs:
+            # the reduced-opening accumulation below still needs the
+            # 1/(z-x) tables; launching them AFTER the ys pull keeps the
+            # (in-order) device stream from delaying it — they execute
+            # while the host observes ys into the transcript
+            inv_denoms = {
+                z: _inv_denom_kernel(
+                    E, jnp.asarray(E.to_monty_np(z)), xs_br[:h]
+                )
+                for z, h in max_h_for_point.items()
+            }
 
         opened_values = []
         for data, points in data_with_points:

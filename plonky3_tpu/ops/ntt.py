@@ -157,10 +157,12 @@ def idft(F: Monty31, mat):
 
 @partial(
     jax.jit,
-    static_argnames=("F", "added_bits", "shift_std", "out_order"),
+    static_argnames=("F", "added_bits", "shift_std", "out_order",
+                     "with_coeffs"),
 )
 def coset_lde_batch(
-    F: Monty31, mat, added_bits: int, shift_std: int, out_order: str = "bitrev"
+    F: Monty31, mat, added_bits: int, shift_std: int,
+    out_order: str = "bitrev", with_coeffs: bool = False,
 ):
     """Low-degree extension onto the coset `shift·K`, |K| = n·2^added_bits.
 
@@ -187,6 +189,11 @@ def coset_lde_batch(
     out = _dif(F, coeffs, log_N, inverse=False)
     if out_order == "natural":
         out = bitrev_permute_axis0(out, log_N)
+    if with_coeffs:
+        # scaled coefficients a_i = c_i·shift^i of the interpolant
+        # (p(z) = Σ a_i·(z/shift)^i) — kept by the PCS so opening at ζ
+        # is one MXU dot instead of a barycentric pass over the LDE
+        return out, coeffs[:n]
     return out
 
 
