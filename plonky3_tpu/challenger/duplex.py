@@ -86,9 +86,15 @@ class DuplexChallenger:
 
     def observe_digest(self, values):
         """Commitment roots are field digests for the duplex challenger —
-        same as observe_many. (SerializingChallenger32 overrides with raw
+        same as observe_many. A Merkle cap (nested tuple of digests,
+        duplex_challenger.rs:221 CanObserve<MerkleCap>) observes each
+        digest in order. (SerializingChallenger32 overrides with raw
         little-endian byte observation of u64 digest words.)"""
-        self.observe_many(values)
+        if values and isinstance(values[0], (tuple, list)):
+            for d in values:
+                self.observe_many(d)
+        else:
+            self.observe_many(values)
 
     def observe_ext(self, ext_tuple):
         for c in ext_tuple:

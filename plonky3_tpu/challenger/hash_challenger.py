@@ -39,7 +39,11 @@ class HashChallenger:
             self.observe(int(c))
 
     def observe_digest(self, values):
-        self.observe_many(values)
+        if values and isinstance(values[0], (tuple, list, bytes)):
+            for d in values:  # Merkle cap: observe each digest in order
+                self.observe_many(d)
+        else:
+            self.observe_many(values)
 
     def sample(self) -> int:
         if not self.output_buffer:

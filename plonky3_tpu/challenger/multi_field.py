@@ -138,7 +138,12 @@ class MultiField32Challenger:
             self.observe(int(c))
 
     def observe_digest(self, words):
-        """words: PF (BN254) digest words (multi_field_challenger.rs:185)."""
+        """words: PF (BN254) digest words (multi_field_challenger.rs:185).
+        A Merkle cap (nested) observes each digest in order."""
+        if words and isinstance(words[0], (tuple, list)):
+            for d in words:
+                self.observe_digest(d)
+            return
         self.output_buffer = []
         self.f_squeeze_buffer = []
         self._flush()

@@ -51,7 +51,13 @@ class SerializingChallenger32:
 
     def observe_digest(self, values):
         """Keccak Merkle roots: [u8;32] raw bytes, or 8 u32 words (= 4
-        u64s) as LE bytes, per the config's digest type."""
+        u64s) as LE bytes, per the config's digest type. A Merkle cap
+        (nested sequence of digests) observes each digest in order —
+        equivalent to the flattened byte stream."""
+        if values and isinstance(values[0], (tuple, list, bytes)):
+            for d in values:
+                self.observe_digest(d)
+            return
         self.output_buffer.clear()
         if self.digest_bytes:
             self.input_buffer += bytes(int(v) & 0xFF for v in values)

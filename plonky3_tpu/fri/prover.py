@@ -162,8 +162,8 @@ def prove_fri(
         # width-arity ext matrix of adjacent (conjugate) evals
         leaves = folded.reshape(-1, arity, E.D)
         data = fri_mmcs.commit_ext_matrix(leaves)
-        commits.append(data.root_std)
-        challenger.observe_digest(data.root_std)
+        commits.append(data.commitment)
+        challenger.observe_digest(data.commitment)
         pow_witnesses.append(challenger.grind(params.commit_proof_of_work_bits))
         beta = challenger.sample_ext(E.D)
 

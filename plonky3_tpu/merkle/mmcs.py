@@ -36,12 +36,25 @@ class MerkleProverData:
     root_std: tuple  # digest as standard-form ints (host)
     digest_is_field: bool = True
     _layers_np: list = None  # lazily pulled host copies for fast openings
+    # Merkle cap (merkle_tree.rs:182-198): the commitment is the layer
+    # cap_height levels below the root — 2^cap_height digests; proofs are
+    # cap_height siblings shorter. cap_std[i] is a standard-form digest
+    # tuple; for cap_height 0, cap_std == (root_std,).
+    cap_std: tuple = None
 
     def host_layers(self, F):
         if self._layers_np is None:
             conv = F.from_monty_np if self.digest_is_field else np.asarray
             self._layers_np = [conv(np.asarray(l)) for l in self.layers]
         return self._layers_np
+
+    @property
+    def commitment(self):
+        """Wire commitment: the root digest for cap_height 0, else the
+        MerkleCap — a tuple of digests (symmetric/src/hash.rs:27)."""
+        if self.cap_std is not None and len(self.cap_std) > 1:
+            return self.cap_std
+        return self.root_std
 
 
 from functools import partial
@@ -169,6 +182,9 @@ def _build_layers_np(mmcs, mats):
 class MerkleTreeMmcs:
     sponge: PaddingFreeSponge
     compressor: TruncatedPermutation
+    # Merkle cap height (mmcs/mod.rs:96): commitment = 2^cap_height
+    # digests from cap_height levels below the root; 0 = root only.
+    cap_height: int = 0
 
     @property
     def F(self):
@@ -206,9 +222,21 @@ class MerkleTreeMmcs:
         root_std = tuple(
             int(x) for x in (F.from_monty_np(root_m) if dif else root_m)
         )
+        if self.cap_height == 0:
+            cap_std = (root_std,)
+        else:
+            log_max = log2_strict(max(m.shape[0] for m in mats))
+            assert min(m.shape[0] for m in mats) >= (1 << self.cap_height), (
+                "matrix shorter than the Merkle cap layer cannot be opened"
+            )
+            cap_m = np.asarray(layers[log_max - self.cap_height])
+            cap_conv = F.from_monty_np(cap_m) if dif else cap_m
+            cap_std = tuple(
+                tuple(int(x) for x in row) for row in cap_conv
+            )
         return MerkleProverData(
             matrices=mats, layers=layers, root_std=root_std,
-            digest_is_field=dif,
+            digest_is_field=dif, cap_std=cap_std,
         )
 
     # ------------------------------------------------------------------
@@ -230,7 +258,7 @@ class MerkleTreeMmcs:
         host_layers = data.host_layers(F)
         proof = []
         idx = index
-        for lvl in range(log_max):
+        for lvl in range(log_max - self.cap_height):
             sib = host_layers[lvl][idx ^ 1]
             proof.append(tuple(int(x) for x in sib))
             idx >>= 1
@@ -273,7 +301,7 @@ class MerkleTreeMmcs:
             return rows_pq, None
         sib_levels = []  # [level] -> (Q, digest_w) standard np
         idxs = np.array(indices, dtype=np.int64)
-        for lvl in range(log_max):
+        for lvl in range(log_max - self.cap_height):
             layer = data.layers[lvl]
             want = (idxs ^ 1).astype(np.int32)
             if isinstance(layer, np.ndarray):
@@ -293,7 +321,7 @@ class MerkleTreeMmcs:
             proofs_pq.append(
                 [
                     tuple(int(x) for x in sib_levels[lvl][q])
-                    for lvl in range(log_max)
+                    for lvl in range(log_max - self.cap_height)
                 ]
             )
         return rows_pq, proofs_pq
@@ -308,13 +336,16 @@ class MerkleTreeMmcs:
         heights = [d[0] for d in dims]
         max_h = max(heights)
         log_max = log2_strict(max_h)
+        log_levels = log_max - self.cap_height
+        if min(heights) < (1 << self.cap_height):
+            return False
         order = sorted(range(len(dims)), key=lambda i: -heights[i])
         for rows in rows_pq:
             for i, d in enumerate(dims):
                 if len(rows[i]) != d[1]:
                     return False
         for proof in proofs_pq:
-            if len(proof) != log_max:
+            if len(proof) != log_levels:
                 return False
 
         def rows_at_np(h):
@@ -332,7 +363,7 @@ class MerkleTreeMmcs:
         dif = getattr(self.sponge, "digest_is_field", True)
         idx = np.array(indices, dtype=np.int64)
         h = max_h
-        for lvl in range(log_max):
+        for lvl in range(log_levels):
             h //= 2
             sib = np.array(
                 [proof[lvl] for proof in proofs_pq], dtype=np.uint32
@@ -350,8 +381,14 @@ class MerkleTreeMmcs:
                 digest = self.compressor.compress_np(digest, tips)
         if dif:
             digest = self.F.from_monty_np(digest)
-        want = np.array(root_std, dtype=np.uint32)
-        return bool((digest == want[None, :]).all())
+        if self.cap_height == 0:
+            want = np.array(root_std, dtype=np.uint32)
+            return bool((digest == want[None, :]).all())
+        # cap comparison: each query's digest must equal its cap entry
+        cap = np.array(root_std, dtype=np.uint32)  # (2^cap, dw)
+        if cap.ndim != 2 or cap.shape[0] != (1 << self.cap_height):
+            return False
+        return bool((digest == cap[idx]).all())
 
     def verify_batch(
         self, root_std, dims, index: int, rows, proof
@@ -360,7 +397,8 @@ class MerkleTreeMmcs:
         heights = [d[0] for d in dims]
         max_h = max(heights)
         log_max = log2_strict(max_h)
-        if len(proof) != log_max:
+        log_levels = log_max - self.cap_height
+        if len(proof) != log_levels or min(heights) < (1 << self.cap_height):
             return False
         order = sorted(range(len(dims)), key=lambda i: -heights[i])
 
@@ -389,7 +427,11 @@ class MerkleTreeMmcs:
             if inj:
                 tips = self.sponge.hash_iter_host(inj)
                 digest = self.compressor.compress_host(digest, tips)
-        return tuple(digest) == tuple(root_std)
+        if self.cap_height == 0:
+            return tuple(digest) == tuple(root_std)
+        if len(root_std) != (1 << self.cap_height):
+            return False
+        return tuple(digest) == tuple(root_std[idx])
 
     # ------------------------------------------------------------------
     # Pruned multi-openings (merkle-tree/src/pruning.rs frontier walk +
@@ -423,11 +465,12 @@ class MerkleTreeMmcs:
         log_max = log2_strict(max_h)
         Q = len(indices)
 
-        # boundary node positions per level (host walk, tiny)
+        # boundary node positions per level (host walk, tiny); the walk
+        # stops at the cap layer — nodes there are in the commitment
         frontier = sorted(set(int(i) for i in indices))
         want = []  # (level, node) in wire order
         by_level = {}
-        for lvl in range(log_max):
+        for lvl in range(log_max - self.cap_height):
             present = set(frontier)
             for node in frontier:
                 if node ^ 1 not in present:
@@ -550,7 +593,10 @@ class MerkleTreeMmcs:
         sib_iter = iter(sibling_hashes)
         consumed = 0
         h = max_h
-        for lvl in range(log_max):
+        log_levels = log_max - self.cap_height
+        if min(heights) < (1 << self.cap_height):
+            return False
+        for lvl in range(log_levels):
             h //= 2
             node_set = set(nodes)
             left_rows, right_rows = [], []
@@ -595,5 +641,15 @@ class MerkleTreeMmcs:
             return False
         if dif:
             digests = self.F.from_monty_np(digests)
-        want = np.array(root_std, dtype=np.uint32)
-        return bool((digests[0] == want).all())
+        if self.cap_height == 0:
+            want = np.array(root_std, dtype=np.uint32)
+            return bool((digests[0] == want).all())
+        # several frontier nodes may survive at the cap layer; each must
+        # equal its committed cap entry
+        cap = np.array(root_std, dtype=np.uint32)
+        if cap.ndim != 2 or cap.shape[0] != (1 << self.cap_height):
+            return False
+        pos = {n: i for i, n in enumerate(nodes)}
+        return all(
+            bool((digests[pos[n]] == cap[n]).all()) for n in nodes
+        )

@@ -244,3 +244,104 @@ def encode_proof(p: WireProof, spec: WireSpec) -> bytes:
 
 TWO_ADIC_SPEC = WireSpec(ext_d=4, digest_kind="field", digest_n=8)
 CIRCLE_SPEC = WireSpec(ext_d=3, digest_kind="bytes", digest_n=32, circle=True)
+
+
+# ----------------------------------------------------------------------
+# batch-stark proofs (batch-stark/src/proof.rs): BatchProof {
+#   commitments{main, permutation?, quotient_chunks, random?},
+#   opened_values{instances: Vec<OpenedValuesWithLookups{
+#       base{trace_local, trace_next?, preprocessed_local?,
+#            preprocessed_next?, quotient_chunks, random?},
+#       permutation_local, permutation_next}},
+#   opening_proof, lookup_terminals: Vec<Option<EF>>, degree_bits: Vec }
+# ----------------------------------------------------------------------
+@dataclass
+class WireInstanceOpened:
+    trace_local: list
+    trace_next: object
+    preprocessed_local: object
+    preprocessed_next: object
+    quotient_chunks: list
+    random_values: object
+    permutation_local: list
+    permutation_next: list
+
+
+@dataclass
+class WireBatchProof:
+    main_commit: list  # cap
+    permutation_commit: object  # cap | None
+    quotient_commit: list  # cap
+    random_commit: object  # cap | None
+    instances: list  # [WireInstanceOpened]
+    opening_proof: object  # WireFriProof | WireCirclePcsProof
+    lookup_terminals: list  # [ext tuple | None]
+    degree_bits: list
+
+
+def _read_instance(r: Reader, spec: WireSpec) -> WireInstanceOpened:
+    exts = lambda: r.vec(lambda: spec.read_ext(r))
+    return WireInstanceOpened(
+        trace_local=exts(),
+        trace_next=r.option(exts),
+        preprocessed_local=r.option(exts),
+        preprocessed_next=r.option(exts),
+        quotient_chunks=r.vec(exts),
+        random_values=r.option(exts),
+        permutation_local=exts(),
+        permutation_next=exts(),
+    )
+
+
+def _write_instance(w: Writer, spec: WireSpec, i: WireInstanceOpened):
+    exts = lambda v: w.vec(v, lambda e: spec.write_ext(w, e))
+    exts(i.trace_local)
+    w.option(i.trace_next, exts)
+    w.option(i.preprocessed_local, exts)
+    w.option(i.preprocessed_next, exts)
+    w.vec(i.quotient_chunks, exts)
+    w.option(i.random_values, exts)
+    exts(i.permutation_local)
+    exts(i.permutation_next)
+
+
+def decode_batch_proof(data: bytes, spec: WireSpec) -> WireBatchProof:
+    r = Reader(data)
+    main_c = spec.read_cap(r)
+    perm_c = r.option(lambda: spec.read_cap(r))
+    quotient_c = spec.read_cap(r)
+    random_c = r.option(lambda: spec.read_cap(r))
+    instances = r.vec(lambda: _read_instance(r, spec))
+    if spec.circle:
+        flc = spec.read_cap(r)
+        lambdas = r.vec(lambda: spec.read_ext(r))
+        fri = _read_fri(r, spec)
+        opening = WireCirclePcsProof(flc, lambdas, fri)
+    else:
+        opening = _read_fri(r, spec)
+    terminals = r.vec(lambda: r.option(lambda: spec.read_ext(r)))
+    degree_bits = r.vec(r.varint)
+    if not r.eof():
+        raise ValueError(f"{r.remaining()} trailing bytes after batch proof")
+    return WireBatchProof(
+        main_c, perm_c, quotient_c, random_c, instances, opening,
+        terminals, degree_bits,
+    )
+
+
+def encode_batch_proof(p: WireBatchProof, spec: WireSpec) -> bytes:
+    w = Writer()
+    spec.write_cap(w, p.main_commit)
+    w.option(p.permutation_commit, lambda c: spec.write_cap(w, c))
+    spec.write_cap(w, p.quotient_commit)
+    w.option(p.random_commit, lambda c: spec.write_cap(w, c))
+    w.vec(p.instances, lambda i: _write_instance(w, spec, i))
+    if spec.circle:
+        spec.write_cap(w, p.opening_proof.first_layer_commitment)
+        w.vec(p.opening_proof.lambdas, lambda e: spec.write_ext(w, e))
+        _write_fri(w, spec, p.opening_proof.fri)
+    else:
+        _write_fri(w, spec, p.opening_proof)
+    w.vec(p.lookup_terminals, lambda t: w.option(t, lambda e: spec.write_ext(w, e)))
+    w.vec(p.degree_bits, w.varint)
+    return w.getvalue()
