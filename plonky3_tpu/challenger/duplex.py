@@ -100,6 +100,12 @@ class DuplexChallenger:
         for c in ext_tuple:
             self.observe(int(c))
 
+    def observe_base_array(self, values_std: np.ndarray):
+        """Observe an array of standard-form elements (row-major order,
+        identical transcript to element-by-element observe)."""
+        for v in np.ascontiguousarray(values_std).reshape(-1).tolist():
+            self.observe(v)
+
     def sample(self) -> int:
         if self.input_buffer or not self.output_buffer:
             self._duplexing()

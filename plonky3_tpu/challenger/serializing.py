@@ -49,6 +49,17 @@ class SerializingChallenger32:
         for c in ext_tuple:
             self.observe(int(c))
 
+    def observe_base_array(self, values_std: np.ndarray):
+        """Observe a whole array of standard-form field elements in one
+        vectorized append (row-major order == element-by-element observe;
+        the per-call Python overhead dominated the ys-observe phase)."""
+        v = np.ascontiguousarray(values_std).reshape(-1)
+        if v.size == 0:
+            return
+        m = self.F.to_monty_np(v.astype(np.uint64).astype(np.uint32))
+        self.output_buffer.clear()
+        self.input_buffer += m.astype("<u4").tobytes()
+
     def observe_digest(self, values):
         """Keccak Merkle roots: [u8;32] raw bytes, or 8 u32 words (= 4
         u64s) as LE bytes, per the config's digest type. A Merkle cap

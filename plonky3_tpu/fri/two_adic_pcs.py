@@ -438,8 +438,11 @@ class TwoAdicFriPcs:
                 for z in pts:
                     ys_np = F.from_monty_np(next(ys_all))
                     ys = [tuple(r) for r in ys_np.tolist()]
-                    for y in ys:
-                        challenger.observe_ext(y)
+                    if hasattr(challenger, "observe_base_array"):
+                        challenger.observe_base_array(ys_np)
+                    else:
+                        for y in ys:
+                            challenger.observe_ext(y)
                     mat_vals.append(ys)
                 round_vals.append(mat_vals)
             opened_values.append(round_vals)

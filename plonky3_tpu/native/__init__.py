@@ -39,6 +39,8 @@ def _build() -> bool:
 
 def _load():
     global _lib
+    if os.environ.get("P3_NO_NATIVE"):
+        return None
     if _lib is not None:
         return _lib
     if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(

@@ -79,6 +79,18 @@ def _shift_powers(F: Monty31, log_n: int, shift_std: int, scale_std: int):
     return jnp.asarray(p)
 
 
+def _use_pallas(x, log_n: int) -> bool:
+    """Route to the pallas four-step kernels: large 2-D device arrays on
+    TPU (narrow mats would pay 128-lane padding)."""
+    return (
+        x.ndim == 2
+        and log_n >= 13
+        and x.shape[1] >= 256
+        and not isinstance(x, np.ndarray)
+        and jax.default_backend() == "tpu"
+    )
+
+
 def _dif(F: Monty31, x, log_n: int, inverse: bool):
     """DIF butterfly network along axis 0: natural in, bit-reversed out.
 
@@ -94,13 +106,7 @@ def _dif(F: Monty31, x, log_n: int, inverse: bool):
     n = 1 << log_n
     if log_n == 0:
         return x
-    if (
-        x.ndim == 2
-        and log_n >= 13
-        and x.shape[1] >= 256  # narrow mats would pay 128-lane padding
-        and not isinstance(x, np.ndarray)
-        and jax.default_backend() == "tpu"
-    ):
+    if _use_pallas(x, log_n):
         from .ntt_pallas import dif_fused
 
         return dif_fused(F, x, log_n, inverse)
@@ -182,11 +188,26 @@ def coset_lde_batch(
     # 3) scale coeff_i by shift^i, folding in the deferred n^-1
     sp = _shift_powers(F, log_n, shift_std, F.inv_h(n))
     coeffs = F.mul(coeffs, sp.reshape((n,) + (1,) * (mat.ndim - 1)))
-    # 4) zero-pad to degree bound N
-    pad = jnp.zeros((N - n,) + mat.shape[1:], jnp.uint32)
-    coeffs = jnp.concatenate([coeffs, pad], axis=0)
-    # 5) forward DIF: natural coeffs -> bit-reversed evals on shift·K
-    out = _dif(F, coeffs, log_N, inverse=False)
+    # 4+5) zero-pad to degree bound N and forward DIF (natural coeffs ->
+    # bit-reversed evals on shift·K). On the pallas path the last padding
+    # doubling stays implicit (zero_top): the kernel synthesizes the
+    # degenerate first stage instead of reading a half-zero array.
+    if _use_pallas(x=mat, log_n=log_N):
+        from .ntt_pallas import dif_fused
+
+        half = N >> 1
+        if n < half:
+            padded = jnp.concatenate(
+                [coeffs, jnp.zeros((half - n,) + mat.shape[1:],
+                                   jnp.uint32)], axis=0
+            )
+        else:
+            padded = coeffs
+        out = dif_fused(F, padded, log_N, inverse=False, zero_top=True)
+    else:
+        pad = jnp.zeros((N - n,) + mat.shape[1:], jnp.uint32)
+        out = _dif(F, jnp.concatenate([coeffs, pad], axis=0), log_N,
+                   inverse=False)
     if out_order == "natural":
         out = bitrev_permute_axis0(out, log_N)
     if with_coeffs:

@@ -3,26 +3,27 @@
 The stage-by-stage XLA network round-trips the whole array through HBM
 once per radix-8 body (~12 passes at 2^18); this four-step split does
 the same arithmetic in TWO pallas kernels that each keep their
-sub-transform entirely in VMEM, plus two XLA transposes:
+sub-transform entirely in VMEM:
 
     x[(a, b), w],  n = A·B
-    1. transpose -> (b, a, w)
-    2. K1: DIF_A over the a-axis per (b, w-block); the b-dependent
+    1. K1: DIF_A over the a-axis per (b, w-block); the b-dependent
        correction  w_n^{rev_A(a_out)·b}  multiplies on the XLA side
        (verified bit-identical to the first log A stages of the full
        network)
-    3. transpose back -> (a, b, w)
-    4. K2: DIF_B over the b-axis per (a, w-block) — the remaining stages
+    2. K2: DIF_B over the b-axis per (a, w-block) — the remaining stages
        of the full network ARE a pure DIF_B per block.
 
-In-kernel butterflies avoid reshapes/concats entirely (they forced a
-tile relayout per stage, 10x over roofline): stage s pairs rows i and
-i±half via two sublane `pltpu.roll`s and a per-row select,
-
-    out = mask·(x + roll(x, -half)) + (1-mask)·(roll(x, +half) - x)·tw
-
-with the per-stage mask/twiddle columns packed contiguously so every
-in-kernel slice is static.
+Butterfly layout (the perf-critical choice): blocks are rank-3
+(rows, sublanes, lanes) and Mosaic tiles only the LAST TWO dims, so any
+static slice/concat along axis 0 is layout-free. K1 therefore runs its
+whole DIF as reshape→slice→butterfly→concat along the untiled axis —
+one add, one sub, one Monty mul per butterfly PAIR (the earlier
+roll+select kernel computed both branches for every row and paid two
+full-block rolls per stage, ~3x over the VPU bound). K2 transforms the
+sublane axis: stages with half ≥ 8 sublanes use the same slice/concat
+form (8-aligned slices are layout-free); the final three stages
+(half = 4, 2, 1) fall back to sublane rolls + select, which Mosaic
+lowers to in-register shuffles.
 
 Output is bit-for-bit the same bit-reversed DIF order as ops/ntt._dif
 (the fixture bit-identity suite pins this).
@@ -42,92 +43,144 @@ from ..utils.bits import reverse_bits_len
 
 _WBLK = 128
 _MAX_LOG_HALF = 10  # sub-transform size cap (VMEM)
-
-
-def _dif_block_rolls(F, x, log_m, axis, mask_ref, tw_ref):
-    """DIF_M over `axis` of a rank-3 value via per-stage rolls.
-
-    mask_ref/tw_ref hold per-stage columns packed along `axis` (length
-    log_m·M there, broadcast shape elsewhere): mask = 1 on the top row
-    of each butterfly pair; tw = 1 on top rows, the stage twiddle on
-    bottom rows."""
-    M = x.shape[axis]
-
-    def tab(ref, s):
-        if axis == 0:
-            return ref[s * M : (s + 1) * M]
-        return ref[:, s * M : (s + 1) * M, :]
-
-    for s in range(log_m):
-        half = (M >> s) >> 1
-        mask = tab(mask_ref, s)
-        tw = tab(tw_ref, s)
-        down = pltpu.roll(x, shift=(M - half) % M, axis=axis)  # i+half
-        up = pltpu.roll(x, shift=half, axis=axis)  # i-half
-        top = F.add(x, down)
-        bot = F.mul(F.sub(up, x), tw)
-        x = jnp.where(mask != 0, top, bot)
-    return x
-
-
-def _k1_kernel(F, log_a, x_ref, mask_ref, tw_ref, corr_ref, o_ref):
-    """(A, 8, 128) block: DIF_A over axis 0, then the four-step
-    correction factor (fused — corr block is (A, 8, 1))."""
-    y = _dif_block_rolls(F, x_ref[...], log_a, 0, mask_ref, tw_ref)
-    o_ref[...] = F.mul(y, corr_ref[...])
-
-
-def _k2_kernel(F, log_b, x_ref, mask_ref, tw_ref, o_ref):
-    """(1, B, 128) block: DIF_B over axis 1."""
-    o_ref[...] = _dif_block_rolls(
-        F, x_ref[...], log_b, 1, mask_ref, tw_ref
-    )
-
-
+_ABLK = 8  # a-rows per K2 block
 _BBLK = 8  # b-columns per K1 block
 
-# The unrolled roll-stage bodies keep several block-sized temporaries
-# live at once; the default 16M scoped-vmem cap trips at A=512. Total
-# VMEM is 128M — allow Mosaic to use half of it for the stack.
+# Butterfly bodies keep several block-sized temporaries live at once;
+# the default 16M scoped-vmem cap trips at A=512. Total VMEM is 128M —
+# allow Mosaic to use most of it.
 _PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
-@partial(jax.jit, static_argnames=("F", "log_n", "inverse"))
-def dif_fused(F, x, log_n: int, inverse: bool):
-    """Drop-in for ops/ntt._dif on 2-D (n, w) arrays, n = 2^log_n."""
+def _dif_slices_axis0(F, x, log_m, tw_ref, zero_top=False):
+    """DIF_M over axis 0 of a rank-3 (M, S, L) value via layout-free
+    slice/concat butterflies (axis 0 is untiled).
+
+    tw_ref packs the per-stage twiddle tables at offset s·M: stage s
+    holds tw_sub[i·2^s] for i < half (half = M >> (s+1)).
+
+    zero_top: x is the (M/2, S, L) nonzero half of a [x; 0] input (the
+    coset-LDE zero-pad); stage 0 degenerates to out = [x, x·tw] so the
+    zero half is never materialized or read."""
+    M = 1 << log_m
+    start = 0
+    if zero_top:
+        half = M >> 1
+        tw = tw_ref[0:half].reshape(half, 1, 1)
+        x = jnp.concatenate([x, F.mul(x, tw)], axis=0)
+        start = 1
+    _, S, L = x.shape
+    for s in range(start, log_m):
+        groups = 1 << s
+        m = M >> s
+        half = m >> 1
+        x4 = x.reshape(groups, m, S, L)
+        t = x4[:, :half]
+        u = x4[:, half:]
+        tw = tw_ref[s * M : s * M + half].reshape(1, half, 1, 1)
+        x = jnp.concatenate(
+            [F.add(t, u), F.mul(F.sub(t, u), tw)], axis=1
+        ).reshape(M, S, L)
+    return x
+
+
+def _dif_sublane(F, x, log_m, tw_ref, tail_ref):
+    """DIF_M over axis 1 (the sublane axis) of a rank-3 (S, M, L) value.
+
+    Stages with half ≥ 8 use 8-aligned slice/concat butterflies. The
+    final three stages (half < 8) pair rows WITHIN each 8-sublane tile;
+    rather than paying sublane rolls (which Mosaic lowers as full-block
+    shuffles, ~10 ms/stage at this shape), the within-8 dim is swapped
+    to the untiled axis once (micro-transpose), the three stages run as
+    layout-free slice butterflies there, and one swap brings it back.
+    tail_ref materializes the tail twiddles as (8, 128) tiles because a
+    scalar broadcast over both sublanes AND lanes is not a single Mosaic
+    op (tail rows t·8+i hold tw_sub[i << (log_m-3+t)])."""
+    S, M, L = x.shape
+    n_tail = min(3, log_m)
+    for s in range(log_m - n_tail):
+        groups = 1 << s
+        m = M >> s
+        half = m >> 1
+        x4 = x.reshape(S, groups, m, L)
+        t = x4[:, :, :half]
+        u = x4[:, :, half:]
+        tw = tw_ref[0, s * M : s * M + half].reshape(1, 1, half, 1)
+        x = jnp.concatenate(
+            [F.add(t, u), F.mul(F.sub(t, u), tw)], axis=2
+        ).reshape(S, M, L)
+    if n_tail == 0:
+        return x
+    T = 1 << n_tail
+    G = M // T
+    y = jnp.swapaxes(x.reshape(S, G, T, L), 0, 2)  # (T, G, S, L)
+    for t in range(n_tail):
+        mm = T >> t
+        half = mm >> 1
+        g2 = T // mm
+        y5 = y.reshape(g2, mm, G, S, L)
+        tt = y5[:, :half]
+        u = y5[:, half:]
+        tw = tail_ref[t * 8 : t * 8 + half].reshape(1, half, 1, 8, 128)
+        y = jnp.concatenate(
+            [F.add(tt, u), F.mul(F.sub(tt, u), tw)], axis=1
+        ).reshape(T, G, S, L)
+    return jnp.swapaxes(y, 0, 2).reshape(S, M, L)
+
+
+def _k1_kernel(F, log_a, zero_top, x_ref, tw_ref, corr_ref, o_ref):
+    """(A, 8, 128) block: DIF_A over axis 0, then the four-step
+    correction factor (fused — corr block is (A, 8, 1))."""
+    y = _dif_slices_axis0(F, x_ref[...], log_a, tw_ref, zero_top)
+    o_ref[...] = F.mul(y, corr_ref[...])
+
+
+def _k2_kernel(F, log_b, x_ref, tw_ref, tail_ref, o_ref):
+    """(8, B, 128) block: DIF_B over axis 1 (sublanes)."""
+    o_ref[...] = _dif_sublane(F, x_ref[...], log_b, tw_ref, tail_ref)
+
+
+@partial(jax.jit, static_argnames=("F", "log_n", "inverse", "zero_top"))
+def dif_fused(F, x, log_n: int, inverse: bool, zero_top: bool = False):
+    """Drop-in for ops/ntt._dif on 2-D (n, w) arrays, n = 2^log_n.
+
+    zero_top: x holds only the first n/2 rows; the upper half is an
+    implicit zero pad (coset-LDE forward transform) that is synthesized
+    in-kernel instead of being materialized in HBM."""
     from .ntt import powers_np
 
     n = 1 << log_n
     w = x.shape[1]
+    assert x.shape[0] == (n >> 1 if zero_top else n)
     log_a = min(log_n - (log_n // 2), _MAX_LOG_HALF)
     log_b = log_n - log_a
     A, B = 1 << log_a, 1 << log_b
 
-    w_pad = -(-w // _WBLK) * _WBLK
-    if w_pad != w:
-        x = jnp.concatenate(
-            [x, jnp.zeros((n, w_pad - w), jnp.uint32)], axis=1
-        )
+    # Width needs no padding: the grid ceil-divides w and Pallas handles
+    # the partial edge blocks (OOB loads padded, OOB stores masked);
+    # columns are independent so edge-block padding lanes never leak.
+    wg = pl.cdiv(w, _WBLK)
 
     g = F.two_adic_generator_h(log_n)
     if inverse:
         g = F.inv_h(g)
     tw_full = np.asarray(powers_np(F, g, max(1 << (log_n - 1), 1)))
-    mask_a, tw_a = _stage_tables(F, tw_full[::B][: A // 2], log_a,
-                                 (log_n, inverse, "a"))
-    mask_b, tw_b = _stage_tables(F, tw_full[::A][: B // 2], log_b,
-                                 (log_n, inverse, "b"))
+    tw_a = _stage_twiddles(F, tw_full[::B][: A // 2], log_a,
+                           (log_n, inverse, "a"))
+    tw_b = _stage_twiddles(F, tw_full[::A][: B // 2], log_b,
+                           (log_n, inverse, "b"))
+    tail_b = _tail_tiles(F, tw_full[::A][: B // 2], log_b,
+                         (log_n, inverse, "b"))
     corr = _corr_table(F, log_n, log_a, inverse)  # (A, B)
 
-    x3 = x.reshape(A, B, w_pad)
+    a_in = A >> 1 if zero_top else A
+    x3 = x.reshape(a_in, B, w)
     y1 = pl.pallas_call(
-        partial(_k1_kernel, F, log_a),
-        out_shape=jax.ShapeDtypeStruct((A, B, w_pad), jnp.uint32),
-        grid=(B // _BBLK, w_pad // _WBLK),
+        partial(_k1_kernel, F, log_a, zero_top),
+        out_shape=jax.ShapeDtypeStruct((A, B, w), jnp.uint32),
+        grid=(B // _BBLK, wg),
         in_specs=[
-            pl.BlockSpec((A, _BBLK, _WBLK), lambda gb, wb: (0, gb, wb),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((log_a * A, 1, 1), lambda gb, wb: (0, 0, 0),
+            pl.BlockSpec((a_in, _BBLK, _WBLK), lambda gb, wb: (0, gb, wb),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((log_a * A, 1, 1), lambda gb, wb: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -140,62 +193,68 @@ def dif_fused(F, x, log_n: int, inverse: bool):
         ),
         interpret=jax.default_backend() == "cpu",
         compiler_params=_PARAMS,
-    )(x3, mask_a.reshape(-1, 1, 1), tw_a.reshape(-1, 1, 1),
-      corr.reshape(A, B, 1))
+    )(x3, tw_a.reshape(-1, 1, 1), corr.reshape(A, B, 1))
 
     y2 = pl.pallas_call(
         partial(_k2_kernel, F, log_b),
-        out_shape=jax.ShapeDtypeStruct((A, B, w_pad), jnp.uint32),
-        grid=(A, w_pad // _WBLK),
+        out_shape=jax.ShapeDtypeStruct((A, B, w), jnp.uint32),
+        grid=(A // _ABLK, wg),
         in_specs=[
-            pl.BlockSpec((1, B, _WBLK), lambda a, wb: (a, 0, wb),
+            pl.BlockSpec((_ABLK, B, _WBLK), lambda a, wb: (a, 0, wb),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, log_b * B, 1), lambda a, wb: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, log_b * B, 1), lambda a, wb: (0, 0, 0),
+            pl.BlockSpec((24, 8, 128), lambda a, wb: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, B, _WBLK), lambda a, wb: (a, 0, wb),
+            (_ABLK, B, _WBLK), lambda a, wb: (a, 0, wb),
             memory_space=pltpu.VMEM,
         ),
         interpret=jax.default_backend() == "cpu",
         compiler_params=_PARAMS,
-    )(y1, mask_b.reshape(1, -1, 1), tw_b.reshape(1, -1, 1))
-    return y2.reshape(n, w_pad)[:, :w]
+    )(y1, tw_b.reshape(1, -1, 1), tail_b)
+    return y2.reshape(n, w)
 
 
-_TABLE_CACHE: dict = {}
+_TW_CACHE: dict = {}
 
 
-def _stage_tables(F, tw_sub, log_m, key_extra):
-    """Packed (log_m·M, 1) mask + twiddle columns for the roll kernels.
-
-    Viewing the block's M rows through stage s (group size m = M >> s):
-    row i is a TOP row when (i mod m) < m/2 — out = x[i] + x[i+half];
-    otherwise out = (x[i-half] - x[i]) · tw_sub[((i mod m) - half) << s]."""
-    key = (F.name, log_m) + tuple(key_extra)
-    hit = _TABLE_CACHE.get(key)
+def _stage_twiddles(F, tw_sub, log_m, key_extra):
+    """Packed (log_m·M,) per-stage twiddle tables for the slice
+    butterflies: offset s·M holds tw_sub[i·2^s] for i < M >> (s+1)."""
+    key = ("slices", F.name, log_m) + tuple(key_extra)
+    hit = _TW_CACHE.get(key)
     if hit is not None:
         # cache holds NUMPY arrays (a jnp constant created inside one
         # jit trace is a tracer — caching it leaks across traces)
-        return jnp.asarray(hit[0]), jnp.asarray(hit[1])
+        return jnp.asarray(hit)
     M = 1 << log_m
-    one_m = np.uint32(F.to_monty_h(1))
-    masks = np.zeros((log_m * M, 1), np.uint32)
-    tws = np.zeros((log_m * M, 1), np.uint32)
+    tws = np.zeros((log_m * M,), np.uint32)
     for s in range(log_m):
-        m = M >> s
-        half = m >> 1
-        for i in range(M):
-            pos = i % m
-            if pos < half:
-                masks[s * M + i, 0] = 1
-                tws[s * M + i, 0] = one_m
-            else:
-                tws[s * M + i, 0] = tw_sub[(pos - half) << s]
-    _TABLE_CACHE[key] = (masks, tws)
-    return jnp.asarray(masks), jnp.asarray(tws)
+        half = M >> (s + 1)
+        tws[s * M : s * M + half] = tw_sub[:: 1 << s][:half]
+    _TW_CACHE[key] = tws
+    return jnp.asarray(tws)
+
+
+def _tail_tiles(F, tw_sub, log_m, key_extra):
+    """(24, 8, 128) twiddle tiles for the micro-transposed tail stages:
+    tail stage t (group size 8 >> t) reads rows t·8+i = tw_sub[i <<
+    (log_m-3+t)] replicated over an (8, 128) tile (see _dif_sublane)."""
+    key = ("tail", F.name, log_m) + tuple(key_extra)
+    hit = _TW_CACHE.get(key)
+    if hit is not None:
+        return jnp.asarray(hit)
+    n_tail = min(3, log_m)
+    tiles = np.zeros((24, 8, 128), np.uint32)
+    for t in range(n_tail):
+        s = log_m - n_tail + t
+        half = (8 >> t) >> 1
+        for i in range(half):
+            tiles[t * 8 + i] = tw_sub[i << s]
+    _TW_CACHE[key] = tiles
+    return jnp.asarray(tiles)
 
 
 _CORR_CACHE: dict = {}

@@ -33,3 +33,15 @@ def test_dif_fused_bit_identical(field, log_n, w, inverse):
     got = dif_fused(field, x, log_n, inverse)
     want = _dif(field, x, log_n, inverse)
     assert jnp.array_equal(got, want)
+
+
+@pytest.mark.parametrize("log_n,w", [(6, 5), (9, 128), (13, 200)])
+def test_dif_fused_zero_top(log_n, w):
+    """zero_top (implicit zero upper half — the coset-LDE forward pad)
+    must match an explicit zero pad bit-for-bit."""
+    rng = np.random.default_rng(log_n * 7 + w)
+    half = jnp.asarray(F.rand_np(rng, (1 << (log_n - 1), w)))
+    padded = jnp.concatenate([half, jnp.zeros_like(half)], axis=0)
+    got = dif_fused(F, half, log_n, False, zero_top=True)
+    want = _dif(F, padded, log_n, False)
+    assert jnp.array_equal(got, want)
