@@ -162,6 +162,26 @@ class Monty31:
         r = hi - u_hi
         return jnp.where(hi < u_hi, r + _U32(self.P), r)
 
+    def mul_shoup(self, a, w_std, w_sh):
+        """Shoup modular product a·w mod P for a CONSTANT multiplier w.
+
+        w_std is w in standard form, w_sh = floor(w·2^32/P) its Shoup
+        precomputation (see `shoup_np`). For a in Monty form (x·R) the
+        result x·w·R stays in Monty form — identical to `mul` with the
+        Monty-form twiddle. ~16 VPU ops vs ~26 for the generic Monty mul
+        (q = hi32(a·w_sh) is off by at most 1 from floor(a·w/P), so
+        r = a·w − q·P lands in [0, 2P) and one conditional subtract
+        canonicalizes — exact, not approximate)."""
+        q, _ = _mul_hi_lo(a, w_sh)
+        r = a * w_std - q * _U32(self.P)  # exact mod 2^32; true value < 2P
+        return jnp.where(r >= _U32(self.P), r - _U32(self.P), r)
+
+    def shoup_np(self, w_std: np.ndarray) -> np.ndarray:
+        """Shoup precomputation floor(w·2^32/P) for standard-form w."""
+        return (
+            (w_std.astype(np.uint64) << np.uint64(32)) // np.uint64(self.P)
+        ).astype(_U32)
+
     def square(self, a):
         return self.mul(a, a)
 

@@ -52,6 +52,18 @@ def powers_np(F: Monty31, base_std: int, n: int, scale_std: int = 1):
     return F.to_monty_np(p_std[:n].astype(np.uint32))
 
 
+def powers_std_np(F: Monty31, base_std: int, n: int, scale_std: int = 1):
+    """[s, s·b, ...] as HOST uint32 STANDARD-form array (for the Shoup
+    twiddle tables — see Monty31.mul_shoup)."""
+    P = np.uint64(F.P)
+    p_std = np.array([scale_std % F.P], dtype=np.uint64)
+    cur_std = np.uint64(base_std % F.P)
+    while p_std.shape[0] < n:
+        p_std = np.concatenate([p_std, (p_std * cur_std) % P])
+        cur_std = (cur_std * cur_std) % P
+    return p_std[:n].astype(np.uint32)
+
+
 def powers_device(F: Monty31, base_std: int, n: int, scale_std: int = 1):
     """Device constant of `powers_np` (safe to call under jit: values are
     computed host-side, so nothing traced ever reaches the caches)."""
