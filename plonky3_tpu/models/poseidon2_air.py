@@ -168,47 +168,63 @@ class Poseidon2VectorAir(BaseAir):
                                 alpha_pows):
         """(Nq, width) row window -> (Nq, D) alpha-folded constraints.
 
-        Replaces the generic per-Sym builder trace (~10^4 graph nodes) with
-        one lax.scan per round section — same constraint values and the
-        SAME alpha-power assignment as the generic `eval` emission order
-        (regs then posts, w-major, V-minor), so prover and verifier agree.
-        """
+        Replaces the generic per-Sym builder trace (~10^4 graph nodes)
+        with a row-chunked lax.map whose body UNROLLS all rounds — same
+        constraint values and the SAME alpha-power assignment as the
+        generic `eval` emission order (regs then posts, w-major,
+        V-minor), so prover and verifier agree.
+
+        Perf structure (measured on v5e): a lax.scan over rounds carries
+        the (Nq, V, W) state through HBM every step (~10 GB of carry
+        traffic at 2^18 rows); unrolling inside a 2^13-row chunk keeps
+        state, round slabs and the fold accumulators VMEM-sized. The
+        alpha fold runs on the MXU: constraints split into four u8 limb
+        planes, alpha powers into eight u4 planes, one bf16 matmul per
+        round accumulating into 32 f32 limb-pair planes carried across
+        rounds (every partial stays < n_cons·255·15 < 2^24, so f32
+        accumulation is exact), recombined once per chunk with 32 Monty
+        multiplies by raw 2^{8k+4l} — R²Σ/R = RΣ, the Monty form of the
+        true fold. Internal-layer diagonal muls use Shoup form
+        (constants)."""
         perm = self.perm
         V, W, C, PR, REG = self.V, self.W, self.cols_per_perm, self.PR, self.REG
         Nq = local.shape[0]
         D = E.D
         c = perm._device_consts()
-        diag = jnp.asarray(c["diag"])
 
-        x = local.reshape(Nq, V, C)
+        diag_std_np = np.asarray(
+            [int(d) % F.P for d in perm.diag_std], np.uint32
+        )
+        diag_std = jnp.asarray(diag_std_np)
+        diag_sh = jnp.asarray(F.shoup_np(diag_std_np))
+
         B = W * REG + W
-        inputs = x[:, :, :W]
-        ei = x[:, :, W:W + 4 * B].reshape(Nq, V, 4, B).transpose(2, 0, 1, 3)
-        p0 = W + 4 * B
-        pr = x[:, :, p0:p0 + PR * (REG + 1)].reshape(
-            Nq, V, PR, REG + 1).transpose(2, 0, 1, 3)
-        ef = x[:, :, p0 + PR * (REG + 1):].reshape(
-            Nq, V, 4, B).transpose(2, 0, 1, 3)
-
         per_full = V * W * (REG + 1)  # constraints per full round
         per_part = V * (REG + 1)
         k_ei = 4 * per_full
         k_pr = PR * per_part
+        n_cons = k_ei + k_pr + 4 * per_full
         a_ei = alpha_pows[:k_ei].reshape(4, per_full, D)
         a_pr = alpha_pows[k_ei:k_ei + k_pr].reshape(PR, per_part, D)
         a_ef = alpha_pows[k_ei + k_pr:].reshape(4, per_full, D)
+        assert n_cons * 255 * 15 < (1 << 24)
 
-        def fold(acc, cons, a):
-            """cons (Nq, K) in emission order; a (K, D)."""
-            return [
-                F.add(acc[d], F.sum(F.mul(cons, a[None, :, d]), axis=1))
-                for d in range(D)
-            ]
+        def a_planes(a):  # (steps, K, D) monty u32 -> (steps, K, D·8) bf16
+            s, K, _ = a.shape
+            return jnp.stack(
+                [(a >> (4 * l)) & 0xF for l in range(8)], axis=-1
+            ).astype(jnp.bfloat16).reshape(s, K, D * 8)
+
+        a4_ei, a4_pr, a4_ef = a_planes(a_ei), a_planes(a_pr), a_planes(a_ef)
+        rc_ei = np.asarray(c["rc_ei"])
+        rc_int = np.asarray(c["rc_int"])
+        rc_ef = np.asarray(c["rc_ef"])
+
+        chunk = min(Nq, 1 << 13)
+        n_chunks = Nq // chunk
 
         def sbox_cons(s, regs):
-            """S-box on (..., lanes): returns (value, constraint, ok_reg).
-
-            regs: committed x^3 columns (or None when REG=0)."""
+            """S-box on (..., lanes): returns (value, constraint)."""
             s3 = F.mul(F.square(s), s)
             if REG == 0:
                 return s3, None
@@ -217,58 +233,89 @@ class Poseidon2VectorAir(BaseAir):
                 return F.mul(regs, s2), F.sub(regs, F.mul(s2, s))
             return F.mul(F.square(regs), s), F.sub(regs, s3)  # d == 7
 
-        def full_body(carry, xs):
-            state, acc = carry
-            rc, block, a = xs  # rc (W,), block (Nq,V,B), a (per_full,D)
-            regs = block[..., :W * REG].reshape(
-                (Nq, V, W, REG))[..., 0] if REG else None
-            post = block[..., W * REG:]
-            s = F.add(state, rc)
-            val, reg_cons = sbox_cons(s, regs)
-            sm = perm._mds_light_arr(val)
-            post_cons = F.sub(sm, post)
-            # emission order: [regs w-major (if REG)] then [posts w-major],
-            # each (w, v) pair a V-block => flatten as (w, v) row-major
-            pieces = []
-            if REG:
-                pieces.append(reg_cons.transpose(0, 2, 1).reshape(Nq, -1))
-            pieces.append(post_cons.transpose(0, 2, 1).reshape(Nq, -1))
-            cons = jnp.concatenate(pieces, axis=1)
-            acc = fold(acc, cons, a)
-            return (post, acc), None
+        def fold(acc_f, cons, a4):
+            """cons (chunk, K) monty u32 in emission order; a4 (K, D·8)."""
+            K = cons.shape[1]
+            m8 = jnp.stack(
+                [(cons >> (8 * k)) & 0xFF for k in range(4)], axis=0
+            ).astype(jnp.bfloat16).reshape(4 * chunk, K)
+            part = jnp.dot(m8, a4, preferred_element_type=jnp.float32)
+            return acc_f + part
 
-        def partial_body(carry, xs):
-            state, acc = carry
-            rc, block, a = xs  # block (Nq,V,REG+1)
-            regs = block[..., 0] if REG else None
-            post = block[..., REG]
-            s = F.add(state[..., 0], rc)
-            val, reg_cons = sbox_cons(s, regs)
-            post_cons = F.sub(val, post)
-            pieces = ([reg_cons.reshape(Nq, -1)] if REG else []) + [
-                post_cons.reshape(Nq, -1)
-            ]
-            cons = jnp.concatenate(pieces, axis=1)
-            acc = fold(acc, cons, a)
-            state = jnp.concatenate(
-                [post[..., None], state[..., 1:]], axis=-1
-            )
-            total = F.sum(state, axis=-1)
-            state = F.add(total[..., None], F.mul(state, diag))
-            return (state, acc), None
+        def chunk_body(xc):  # (chunk, V, C) -> (chunk, D)
+            inputs = xc[:, :, :W]
+            ei = xc[:, :, W:W + 4 * B].reshape(chunk, V, 4, B)
+            p0 = W + 4 * B
+            pr = xc[:, :, p0:p0 + PR * (REG + 1)].reshape(
+                chunk, V, PR, REG + 1)
+            ef = xc[:, :, p0 + PR * (REG + 1):].reshape(chunk, V, 4, B)
 
-        acc0 = [jnp.zeros((Nq,), jnp.uint32) for _ in range(D)]
-        state = perm._mds_light_arr(inputs)
-        (state, acc), _ = jax.lax.scan(
-            full_body, (state, acc0), (jnp.asarray(c["rc_ei"]), ei, a_ei)
+            acc = jnp.zeros((4 * chunk, D * 8), jnp.float32)
+            state = perm._mds_light_arr(inputs)
+
+            def full_round(state, acc, rc, block, a4):
+                regs = block[..., :W * REG].reshape(
+                    (chunk, V, W, REG))[..., 0] if REG else None
+                post = block[..., W * REG:]
+                s = F.add(state, jnp.asarray(rc))
+                val, reg_cons = sbox_cons(s, regs)
+                sm = perm._mds_light_arr(val)
+                post_cons = F.sub(sm, post)
+                pieces = []
+                if REG:
+                    pieces.append(
+                        reg_cons.transpose(0, 2, 1).reshape(chunk, -1)
+                    )
+                pieces.append(post_cons.transpose(0, 2, 1).reshape(chunk, -1))
+                return post, fold(acc, jnp.concatenate(pieces, axis=1), a4)
+
+            def partial_round(state, acc, rc, block, a4):
+                regs = block[..., 0] if REG else None
+                post = block[..., REG]
+                s = F.add(state[..., 0], jnp.uint32(rc))
+                val, reg_cons = sbox_cons(s, regs)
+                post_cons = F.sub(val, post)
+                pieces = ([reg_cons.reshape(chunk, -1)] if REG else []) + [
+                    post_cons.reshape(chunk, -1)
+                ]
+                acc = fold(acc, jnp.concatenate(pieces, axis=1), a4)
+                state = jnp.concatenate(
+                    [post[..., None], state[..., 1:]], axis=-1
+                )
+                total = F.sum(state, axis=-1)
+                state = F.add(
+                    total[..., None], F.mul_shoup(state, diag_std, diag_sh)
+                )
+                return state, acc
+
+            for r in range(4):
+                state, acc = full_round(
+                    state, acc, rc_ei[r], ei[:, :, r], a4_ei[r]
+                )
+            for r in range(PR):
+                state, acc = partial_round(
+                    state, acc, rc_int[r], pr[:, :, r], a4_pr[r]
+                )
+            for r in range(4):
+                state, acc = full_round(
+                    state, acc, rc_ef[r], ef[:, :, r], a4_ef[r]
+                )
+
+            acc_u = acc.reshape(4, chunk, D, 8).astype(jnp.uint32)
+            out = None
+            for k in range(4):
+                for l in range(8):
+                    cc = jnp.uint32((1 << (8 * k + 4 * l)) % F.P)
+                    term = F.mul(acc_u[k, :, :, l], cc)
+                    out = term if out is None else F.add(out, term)
+            return out  # (chunk, D)
+
+        if n_chunks == 1:
+            return chunk_body(local.reshape(chunk, V, C))
+        out = jax.lax.map(
+            chunk_body, local.reshape(n_chunks, chunk, V, C)
         )
-        (state, acc), _ = jax.lax.scan(
-            partial_body, (state, acc), (jnp.asarray(c["rc_int"]), pr, a_pr)
-        )
-        (state, acc), _ = jax.lax.scan(
-            full_body, (state, acc), (jnp.asarray(c["rc_ef"]), ef, a_ef)
-        )
-        return jnp.stack(acc, axis=-1)  # (Nq, D)
+        return out.reshape(Nq, D)
 
 
 def generate_vectorized_trace(air: Poseidon2VectorAir, inputs):
