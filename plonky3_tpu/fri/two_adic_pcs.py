@@ -269,6 +269,10 @@ class TwoAdicFriPcs:
     mmcs: MerkleTreeMmcs  # input (base) commitments
     fri_mmcs: ExtensionMmcs  # commit-phase (extension) commitments
 
+    # get_evaluations_on_domain accepts order="bitrev" (a free prefix
+    # slice of the committed bitrev LDE — see stark/prover.py q_order)
+    supports_bitrev_evals = True
+
     # ------------------------------------------------------------------
     def natural_domain_for_degree(self, degree: int) -> TwoAdicCoset:
         return TwoAdicCoset(self.F, 1, log2_strict(degree))
@@ -302,19 +306,23 @@ class TwoAdicFriPcs:
         data.coeffs = coeffs
         return data
 
-    def get_evaluations_on_domain(self, data, mat_index: int, domain: TwoAdicCoset):
-        """Evaluations of committed matrix over `domain`, natural order.
+    def get_evaluations_on_domain(self, data, mat_index: int,
+                                  domain: TwoAdicCoset,
+                                  order: str = "natural"):
+        """Evaluations of committed matrix over `domain`.
 
         `domain` must be a sub-coset of the committed LDE coset with the
         same shift (the uni-stark quotient domain). In bit-reversed order
-        the restriction is a prefix (SURVEY.md §7 design stance), so this
-        is a slice + reshape/transpose, no gather.
-        """
+        the restriction is a prefix (SURVEY.md §7 design stance), so the
+        'bitrev' order is a free slice, and 'natural' adds one row
+        gather."""
         lde = data.matrices[mat_index]
         log_lde = log2_strict(lde.shape[0])
         committed = TwoAdicCoset(self.F, self.F.GENERATOR, log_lde)
         assert domain.shift == committed.shift, "domain must share shift gK"
         prefix = lde[: domain.size]
+        if order == "bitrev":
+            return prefix
         return bitrev_permute_axis0(prefix, domain.log_n)
 
     # ------------------------------------------------------------------

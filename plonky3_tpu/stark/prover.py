@@ -32,28 +32,45 @@ from .proof import Commitments, OpenedValues, Proof
 
 @partial(
     jax.jit,
-    static_argnames=("config", "air", "trace_domain", "quotient_domain"),
+    static_argnames=(
+        "config", "air", "trace_domain", "quotient_domain", "rows_order",
+    ),
 )
 def quotient_values(
     config: StarkConfig,
     air: BaseAir,
     trace_domain,
     quotient_domain,
-    trace_on_quotient_domain,  # (Nq, w) device, natural order
+    trace_on_quotient_domain,  # (Nq, w) device, order per rows_order
     publics_m,  # (n_publics,) device uint32 Monty
     alpha_pows,  # (K, D) device uint32 Monty, descending powers
+    rows_order: str = "natural",
 ):
     """Evaluate C(T(x), T(hx), sels(x))/Z_H(x) over the whole quotient
     domain in ONE jitted program (prover.rs:399-555; the packing width is
     the entire domain — constraint eval, alpha fold, selectors and the
-    inv-vanishing scale all fuse)."""
+    inv-vanishing scale all fuse).
+
+    rows_order='bitrev': rows arrive in the committed bit-reversed LDE
+    order (a free prefix slice — no 1.4 GB natural-order gather) and the
+    output stays in that order; only valid for AIRs with no next-row
+    constraints (row adjacency is meaningless in bitrev order). The
+    selector vectors are gathered into bitrev order instead (Nq-sized,
+    cheap)."""
     F, E = config.F, config.E
     Nq = quotient_domain.size
     sels = trace_domain.selectors_on_coset_device(quotient_domain)
-    next_step = Nq // trace_domain.size
+    if rows_order == "bitrev":
+        from ..utils.bits import bitrev_permute_axis0 as _br
 
-    local = trace_on_quotient_domain
-    nxt = jnp.roll(trace_on_quotient_domain, -next_step, axis=0)
+        assert air.main_next_row_columns() == []
+        sels = {k: _br(v, quotient_domain.log_n) for k, v in sels.items()}
+        local = trace_on_quotient_domain
+        nxt = local  # unused: no next-row constraints
+    else:
+        next_step = Nq // trace_domain.size
+        local = trace_on_quotient_domain
+        nxt = jnp.roll(trace_on_quotient_domain, -next_step, axis=0)
 
     if hasattr(air, "fold_constraints_device"):
         # AIR-provided array/scaned fold (same alpha assignment as the
@@ -77,6 +94,10 @@ def quotient_values(
             if pcols
             else None
         )
+        if pv is not None and rows_order == "bitrev":
+            from ..utils.bits import bitrev_permute_axis0 as _brp
+
+            pv = _brp(pv, quotient_domain.log_n)
         builder = _make_builder(
             backend, air.width, air.num_public_values, entry,
             lambda j: publics_m[j],
@@ -179,9 +200,23 @@ def prove(
     quotient_domain = trace_domain.create_disjoint_domain(
         1 << (log_n + log_num_chunks)
     )
-    trace_on_qd = pcs.get_evaluations_on_domain(
-        trace_data, 0, quotient_domain
+    # AIRs with no next-row constraints evaluate the quotient directly in
+    # the committed bitrev row order: the LDE restriction is a free
+    # prefix slice instead of a full-matrix row gather.
+    uses_next = air.main_next_row_columns() != []
+    q_order = (
+        "bitrev"
+        if not uses_next and getattr(pcs, "supports_bitrev_evals", False)
+        else "natural"
     )
+    if q_order == "bitrev":
+        trace_on_qd = pcs.get_evaluations_on_domain(
+            trace_data, 0, quotient_domain, order="bitrev"
+        )
+    else:
+        trace_on_qd = pcs.get_evaluations_on_domain(
+            trace_data, 0, quotient_domain
+        )
     num_constraints, _ = get_symbolic_layout(air)
     alpha_pows = E.powers_np(alpha, num_constraints)[::-1].copy()
     publics_m = jnp.asarray(
@@ -190,7 +225,12 @@ def prove(
     q_vals = quotient_values(
         config, air, trace_domain, quotient_domain,
         trace_on_qd, publics_m, jnp.asarray(alpha_pows),
+        rows_order=q_order,
     )  # (Nq, D)
+    if q_order == "bitrev":
+        from ..utils.bits import bitrev_permute_axis0
+
+        q_vals = bitrev_permute_axis0(q_vals, quotient_domain.log_n)
     jax.block_until_ready(q_vals)
     _mark("quotient eval")
 
@@ -211,7 +251,6 @@ def prove(
     # AIRs that never read an offset-1 main entry declare it
     # (air/src/air.rs main_next_row_columns): the trace then opens at
     # zeta only, shrinking the proof and the ys work.
-    uses_next = air.main_next_row_columns() != []
     trace_points = [zeta, zeta_next] if uses_next else [zeta]
     opened, fri_proof = pcs.open(
         [
