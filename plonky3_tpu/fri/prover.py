@@ -145,8 +145,14 @@ def prove_fri(
     log_final_height = params.log_blowup + params.log_final_poly_len
 
     # below this height the round runs on host numpy (exact): the work is
-    # tiny and an XLA compile per fresh height would dominate wall-clock
-    LOG_H_DEVICE_MIN = 13
+    # tiny and an XLA compile per fresh height would dominate wall-clock.
+    # With a C-keccak-backed commit sponge the host tree is ~2 Mhash/s,
+    # so pulling the codeword earlier trades one extra device round
+    # (29 ms root round-trip each) for ~5 ms of host hashing.
+    _sponge = getattr(getattr(fri_mmcs, "inner", fri_mmcs), "sponge", None)
+    LOG_H_DEVICE_MIN = (
+        16 if not getattr(_sponge, "digest_is_field", True) else 13
+    )
 
     while folded.shape[0] > params.blowup * params.final_poly_len:
         log_h = log2_strict(folded.shape[0])

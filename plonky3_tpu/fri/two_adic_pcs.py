@@ -424,7 +424,9 @@ class TwoAdicFriPcs:
                             E, mat, xs_br[:h], inv_denoms[z][:h],
                             jnp.asarray(E.to_monty_np(factor)),
                         ))
+        _mark("open: ys dispatch")
         ys_all = iter(pull_all(ys_devs))
+        _mark("open: ys pull")
 
         if use_coeffs:
             # the reduced-opening accumulation below still needs the
@@ -498,11 +500,10 @@ class TwoAdicFriPcs:
                         jnp.asarray(E.to_monty_np(alpha_off)),
                     )
                     num_reduced[log_h] = nr + w
+        _mark("open: acc dispatch")
         fri_input = [
             reduced[lh] for lh in sorted(reduced.keys(), reverse=True)
         ]
-        import jax as _jax
-        _jax.block_until_ready(fri_input[0])
         _mark("open: reduced accumulation")
 
         def open_input_fn(indices, batcher):

@@ -23,17 +23,18 @@ _lib = None
 
 
 def _build() -> bool:
-    for cc in ("cc", "gcc", "clang"):
-        try:
-            r = subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", _SRC, "-o", _SO],
-                capture_output=True,
-                timeout=120,
-            )
-            if r.returncode == 0:
-                return True
-        except (OSError, subprocess.TimeoutExpired):
-            continue
+    for flags in (["-O3", "-march=native"], ["-O3"]):
+        for cc in ("cc", "gcc", "clang"):
+            try:
+                r = subprocess.run(
+                    [cc, *flags, "-shared", "-fPIC", _SRC, "-o", _SO],
+                    capture_output=True,
+                    timeout=120,
+                )
+                if r.returncode == 0:
+                    return True
+            except (OSError, subprocess.TimeoutExpired):
+                continue
     return False
 
 
