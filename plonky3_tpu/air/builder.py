@@ -137,6 +137,19 @@ class AirBuilder:
     def assert_bool(self, x):
         self.assert_zero(x * (x - 1))
 
+    def assert_zero_ext(self, comps):
+        """Emit ONE extension-field constraint from D component Syms
+        (air/src/builder.rs ExtensionBuilder::assert_zero_ext — an ext
+        constraint consumes a single alpha power)."""
+        comps = [
+            c if isinstance(c, Sym)
+            else Sym(self.backend, self.backend.const(int(c)))
+            for c in comps
+        ]
+        if self._filter is not None:
+            comps = [self._filter * c for c in comps]
+        self.backend.emit_ext([c.v for c in comps])
+
     def assert_zero_block(self, x: Sym, count: int):
         """Emit `count` constraints at once from a vector Sym (row-major
         over its stacked leading axes)."""
@@ -160,7 +173,8 @@ class AirBuilder:
         return child
 
     # -- bus interactions (lookup/src/builder.rs push_interaction) -----
-    def push_interaction(self, bus_name, fields, count, count_weight=1):
+    def push_interaction(self, bus_name, fields, count, count_weight=1,
+                         kind="global"):
         """Record one message on a named bus. A when()-filter gates the
         count (an inactive row emits nothing)."""
 
@@ -175,8 +189,37 @@ class AirBuilder:
         self.interactions.append(
             dict(
                 bus=bus_name,
+                kind=kind,
                 fields=[lift(f) for f in fields],
                 count=count,
+                count_weight=count_weight,
+            )
+        )
+
+    def push_local_interaction(self, pairs, count_weight=1):
+        """A LOCAL lookup (lookup/src/builder.rs push_local_interaction):
+        one column holding the combined sum of several (tuple, count)
+        fractions on a private bus; counts typically cancel within the
+        instance (query +1, table -1)."""
+
+        def lift(x):
+            if isinstance(x, Sym):
+                return x
+            return Sym(self.backend, self.backend.const(int(x)))
+
+        tuples, counts = [], []
+        for fields, count in pairs:
+            count = lift(count)
+            if self._filter is not None:
+                count = self._filter * count
+            tuples.append([lift(f) for f in fields])
+            counts.append(count)
+        self.interactions.append(
+            dict(
+                bus=None,
+                kind="local",
+                tuples=tuples,
+                counts=counts,
                 count_weight=count_weight,
             )
         )
@@ -219,6 +262,9 @@ class SymbolicBackend:
 
     def emit(self, deg):
         self.constraint_degrees.append(deg)
+
+    def emit_ext(self, comps):
+        self.constraint_degrees.append(max(comps))
 
     def stack(self, vals):
         return list(vals)
@@ -272,6 +318,22 @@ class ProverBackend:
         ap = self.alpha_pows[self.idx]
         self.idx += 1
         terms = [self.F.mul(c, ap[d]) for d in range(self.E.D)]
+        if self.acc is None:
+            self.acc = terms
+        else:
+            self.acc = [self.F.add(a, t) for a, t in zip(self.acc, terms)]
+
+    def emit_ext(self, comps):
+        """One EXT constraint: comps are the D basis-coordinate arrays;
+        the constraint folds with a single alpha power (ext·ext mul)."""
+        ap = self.alpha_pows[self.idx]  # (D,)
+        self.idx += 1
+        shape = jnp.broadcast_shapes(*[jnp.shape(c) for c in comps])
+        c = jnp.stack(
+            [jnp.broadcast_to(x, shape) for x in comps], axis=-1
+        )  # (..., D)
+        term = self.E.mul(c, jnp.broadcast_to(ap, c.shape))
+        terms = [term[..., d] for d in range(self.E.D)]
         if self.acc is None:
             self.acc = terms
         else:
@@ -334,6 +396,16 @@ class VerifierBackend:
     def emit(self, c):
         self.acc = self.E.add_h(self.E.mul_h(self.acc, self.alpha), c)
 
+    def emit_ext(self, comps):
+        """One EXT constraint from D basis-coordinate values (each an ext
+        value at zeta): value = Σ_d comps[d]·basis_d."""
+        val = self.E.zero_h()
+        for d, c in enumerate(comps):
+            basis = [0] * self.E.D
+            basis[d] = 1
+            val = self.E.add_h(val, self.E.mul_h(c, tuple(basis)))
+        self.emit(val)
+
     def stack(self, vals):
         return list(vals)
 
@@ -384,6 +456,18 @@ class DebugBackend:
         if bad.size:
             self.failures.append(
                 dict(constraint=self.idx, rows=bad[:10].tolist())
+            )
+        self.idx += 1
+
+    def emit_ext(self, comps):
+        bad = None
+        for c in comps:
+            b = np.asarray(c) != 0
+            bad = b if bad is None else (bad | b)
+        rows = np.nonzero(bad)[0]
+        if rows.size:
+            self.failures.append(
+                dict(constraint=self.idx, rows=rows[:10].tolist())
             )
         self.idx += 1
 

@@ -69,6 +69,46 @@ def two_adic_fixture_config(log_final_poly_len: int = 2) -> StarkConfig:
     )
 
 
+FIXTURE_BATCH_TWO_ADIC = (
+    "/root/reference/batch-stark/tests/fixtures/"
+    "batch_stark_two_adic_v1.postcard"
+)
+FIXTURE_BATCH_CIRCLE = (
+    "/root/reference/batch-stark/tests/fixtures/"
+    "batch_stark_circle_v1.postcard"
+)
+
+
+def batch_two_adic_fixture_config() -> StarkConfig:
+    """make_two_adic_compat_config(777) (batch-stark/tests/simple.rs:580):
+    Poseidon2BabyBear<16> from SmallRng(777), cap-height-1 Merkle,
+    FRI {log_blowup:2, log_final_poly_len:2, max_log_arity:1,
+    num_queries:2, commit_pow:1, query_pow:1}."""
+    F, E = BabyBear, BabyBearExt4
+    perm = poseidon2_baby_bear_16(777)
+    mmcs = MerkleTreeMmcs(
+        sponge=PaddingFreeSponge(perm, rate=8, out=8),
+        compressor=TruncatedPermutation(perm, chunk=8),
+        cap_height=1,
+    )
+    fri = FriParameters(
+        log_blowup=2,
+        log_final_poly_len=2,
+        max_log_arity=1,
+        num_queries=2,
+        commit_proof_of_work_bits=1,
+        query_proof_of_work_bits=1,
+    )
+    pcs = TwoAdicFriPcs(
+        F=F, E=E, fri=fri, mmcs=mmcs,
+        fri_mmcs=ExtensionMmcs(inner=mmcs, D=E.D),
+    )
+    return StarkConfig(
+        pcs=pcs,
+        challenger_factory=lambda: DuplexChallenger(perm, rate=8),
+    )
+
+
 def circle_fixture_config():
     """The circle golden-fixture config (fib_air.rs:200-233):
     Mersenne31 + cubic extension, Keccak256 byte digests,

@@ -1,0 +1,900 @@
+"""Reference-layout batch-stark: LogUp lookups + global preprocessed.
+
+Byte-level parity with the reference pipeline:
+  * transcript order       batch-stark/src/transcript.rs
+  * prover flow            batch-stark/src/prover.rs:103 (prove_batch)
+  * keygen / CommonData    batch-stark/src/common.rs (from_airs_and_degrees)
+  * lookup gadget          lookup/src/logup.rs (eval_fraction/eval_accumulator),
+                           lookup/src/protocol.rs:56 (eval_all order),
+                           lookup/src/challenges.rs (bus-offset table),
+                           lookup/src/types.rs:249 (pack_same_bus)
+  * proof layout           batch-stark/src/proof.rs
+
+Constraint emission order (fixes the alpha-power assignment): the inner
+AIR's constraints first (air.eval), then one fraction pin per lookup
+column, then the accumulator's first-row / transition / last-row
+constraints — fraction pins and accumulator constraints are EXTENSION
+constraints, each consuming a single alpha power (assert_zero_ext).
+
+This is the layout whose proofs reproduce
+`batch-stark/tests/fixtures/batch_stark_{two_adic,circle}_v1.postcard`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..air.api import _make_builder
+from ..air.builder import (
+    DebugBackend,
+    ProverBackend,
+    Sym,
+    SymbolicBackend,
+    VerifierBackend,
+)
+from ..utils.bits import log2_ceil, log2_strict
+from .config import StarkConfig
+from .lookup import _ext_mul_syms
+from .verifier import VerificationError
+
+
+# ---------------------------------------------------------------------------
+# symbolic interaction collection + same-bus packing (types.rs:249)
+# ---------------------------------------------------------------------------
+def _collect_sym(air):
+    """Run the AIR's eval symbolically; return (backend, interactions)."""
+    backend = SymbolicBackend()
+
+    def entry(kind, j):
+        return 0 if kind == "is_transition" else 1
+
+    b = _make_builder(
+        backend, air.width, air.num_public_values, entry, lambda j: 0,
+        num_periodic=len(air.periodic_columns()),
+        periodic_entry=lambda j: 1,
+    )
+    air.eval(b)
+    return backend, b.interactions
+
+
+def _tuples_of(inter):
+    """Interaction record -> (tuples, counts) lists (multi-tuple form)."""
+    if "tuples" in inter:
+        return inter["tuples"], inter["counts"]
+    return [inter["fields"]], [inter["count"]]
+
+
+def _pin_degree(col_inters):
+    """Symbolic degree of a (possibly merged) column's fraction pin:
+    deg(Π denom · frac − Σ m·prefix·suffix) with frac/perm entries
+    degree 1 (logup.rs constraint_degree)."""
+    denom_degs = []
+    mult_degs = []
+    for inter in col_inters:
+        tuples, counts = _tuples_of(inter)
+        for t, c in zip(tuples, counts):
+            denom_degs.append(max((f.v for f in t), default=0))
+            mult_degs.append(c.v if isinstance(c, Sym) else 0)
+    total_denom = sum(denom_degs)
+    lhs = total_denom + 1
+    rhs = max(
+        (m + total_denom - d for m, d in zip(mult_degs, denom_degs)),
+        default=0,
+    )
+    return max(lhs, rhs)
+
+
+def pack_plan(sym_inters, budget):
+    """types.rs pack_same_bus: locals keep their own column (original
+    order); globals bucket by bus in first-appearance order and merge
+    greedily while the merged pin degree stays within `budget`.
+    Returns a list of columns, each a list of interaction indices."""
+    plan = []
+    buses = []  # (name, [indices]) first-appearance order
+    for i, inter in enumerate(sym_inters):
+        if inter.get("kind", "global") == "local":
+            plan.append([i])
+            continue
+        for name, members in buses:
+            if name == inter["bus"]:
+                members.append(i)
+                break
+        else:
+            buses.append((inter["bus"], [i]))
+    for _, members in buses:
+        current = None
+        for idx in members:
+            if current is None:
+                current = [idx]
+                continue
+            trial = current + [idx]
+            if _pin_degree([sym_inters[j] for j in trial]) <= budget:
+                current = trial
+            else:
+                plan.append(current)
+                current = [idx]
+        if current:
+            plan.append(current)
+    return plan
+
+
+# ---------------------------------------------------------------------------
+# the LogUp gadget, backend-generic (logup.rs eval_fraction/eval_accumulator)
+# ---------------------------------------------------------------------------
+def _as_sym(b, x):
+    if isinstance(x, Sym):
+        return x
+    return Sym(b.backend, b.backend.const(int(x)))
+
+
+def _ext_const(b, E, ext):
+    """Host ext tuple -> list of D component Syms (base consts)."""
+    return [_as_sym(b, int(c)) for c in ext]
+
+
+def _combine(b, E, fields, beta_c):
+    """fold(0, |acc, e| e + acc·β): Σ e_j·β^{k-1-j} (logup.rs:125).
+    fields are base Syms; result is an ext Sym list."""
+    comb = None
+    for f in fields:
+        if comb is None:
+            comb = [f] + [_as_sym(b, 0) for _ in range(E.D - 1)]
+        else:
+            comb = _ext_mul_syms(E, comb, beta_c)
+            comb[0] = comb[0] + f
+    if comb is None:
+        comb = [_as_sym(b, 0) for _ in range(E.D)]
+    return comb
+
+
+def eval_lookups(b, E, plan, inters, chal_pairs, perm_local, perm_next,
+                 terminal):
+    """Emit the lookup constraints into builder `b` (protocol.rs:56
+    order: one fraction pin per column, then the accumulator triple).
+
+    chal_pairs: [(prefix_ext, beta_ext)] per column (host ext tuples);
+    perm_local/perm_next: flattened aux row Syms ((n_cols+1)·D);
+    terminal: host ext tuple."""
+    D = E.D
+    fracs = []
+    for c, col in enumerate(plan):
+        prefix_c = _ext_const(b, E, chal_pairs[c][0])
+        beta_c = _ext_const(b, E, chal_pairs[c][1])
+        denoms = []
+        mults = []
+        for idx in col:
+            tuples, counts = _tuples_of(inters[idx])
+            for t, m in zip(tuples, counts):
+                comb = _combine(b, E, t, beta_c)
+                denoms.append(
+                    [prefix_c[d] - comb[d] for d in range(D)]
+                )
+                mults.append(_as_sym(b, m) if not isinstance(m, Sym) else m)
+        # prefix/suffix products of the denominators (logup.rs:178)
+        n = len(denoms)
+        one = _ext_const(b, E, E.one_h())
+        pref = [one]
+        for d_ in denoms:
+            pref.append(_ext_mul_syms(E, pref[-1], d_))
+        suff = [one] * (n + 1)
+        for i in range(n - 1, -1, -1):
+            suff[i] = _ext_mul_syms(E, suff[i + 1], denoms[i])
+        denomprod = pref[n]
+        numerator = None
+        for i in range(n):
+            term = _ext_mul_syms(E, pref[i], suff[i + 1])
+            term = [mults[i] * t for t in term]
+            numerator = term if numerator is None else [
+                a + t for a, t in zip(numerator, term)
+            ]
+        frac = [perm_local[(c + 1) * D + d] for d in range(D)]
+        fracs.append(frac)
+        pin = _ext_mul_syms(E, denomprod, frac)
+        pin = [pin[d] - numerator[d] for d in range(D)]
+        b.assert_zero_ext(pin)
+
+    acc = [perm_local[d] for d in range(D)]
+    acc_next = [perm_next[d] for d in range(D)]
+    fsum = [None] * D
+    for f in fracs:
+        for d in range(D):
+            fsum[d] = f[d] if fsum[d] is None else fsum[d] + f[d]
+    if fsum[0] is None:
+        fsum = [_as_sym(b, 0)] * D
+    term_c = _ext_const(b, E, terminal)
+    b.when_first_row().assert_zero_ext(acc)
+    b.when_transition().assert_zero_ext(
+        [acc_next[d] - acc[d] - fsum[d] for d in range(D)]
+    )
+    b.when_last_row().assert_zero_ext(
+        [term_c[d] - acc[d] - fsum[d] for d in range(D)]
+    )
+
+
+def layout_with_lookups(air, E, plan):
+    """(total_constraints, max_degree) of inner + lookup constraints."""
+    backend = SymbolicBackend()
+
+    def entry(kind, j):
+        return 0 if kind == "is_transition" else 1
+
+    b = _make_builder(
+        backend, air.width, air.num_public_values, entry, lambda j: 0,
+        num_periodic=len(air.periodic_columns()),
+        periodic_entry=lambda j: 1,
+    )
+    air.eval(b)
+    if plan:
+        n_cols = len(plan)
+        perm = [Sym(backend, 1) for _ in range((n_cols + 1) * E.D)]
+        chal = [(E.zero_h(), E.zero_h())] * n_cols
+        eval_lookups(b, E, plan, b.interactions, chal, perm, perm,
+                     E.zero_h())
+    degs = backend.constraint_degrees
+    return len(degs), (max(degs) if degs else 0)
+
+
+def log_chunks_with_lookups(air, E, plan):
+    _, deg = layout_with_lookups(air, E, plan)
+    return log2_ceil(max(max(deg, 2) - 1, 1))
+
+
+# ---------------------------------------------------------------------------
+# challenges (challenges.rs + transcript.rs sample_perm_challenges)
+# ---------------------------------------------------------------------------
+def assign_buses(all_sym_inters, all_plans):
+    """Walk instances' packed columns in order: globals share an id by
+    name (first appearance), locals get fresh ids. Returns (per-instance
+    bus-id lists, num_buses, max_message_width)."""
+    global_index = {}
+    next_bus = 0
+    max_w = 1
+    per_instance = []
+    for inters, plan in zip(all_sym_inters, all_plans):
+        ids = []
+        for col in plan:
+            first = inters[col[0]]
+            for idx in col:
+                tuples, _ = _tuples_of(inters[idx])
+                for t in tuples:
+                    max_w = max(max_w, len(t))
+            if first.get("kind", "global") == "local":
+                ids.append(next_bus)
+                next_bus += 1
+            else:
+                name = first["bus"]
+                if name not in global_index:
+                    global_index[name] = next_bus
+                    next_bus += 1
+                ids.append(global_index[name])
+        per_instance.append(ids)
+    return per_instance, next_bus, max_w
+
+
+def bus_prefixes(E, alpha, beta, max_w, num_buses):
+    """prefix[i] = alpha + (i+1)·gamma, gamma = beta^max_w."""
+    gamma = E.exp_h(beta, max_w)
+    out, prefix = [], alpha
+    for _ in range(num_buses):
+        prefix = E.add_h(prefix, gamma)
+        out.append(prefix)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# aux (permutation) trace generation (logup.rs generate_permutation)
+# ---------------------------------------------------------------------------
+def generate_perm_trace(E, air, trace_std, public_values, plan,
+                        chal_pairs):
+    """Numeric per-row eval of the packed lookup columns.
+
+    Returns (aux_std (n, (n_cols+1)·D) standard-form, terminal ext)."""
+    F = E.base
+    n = trace_std.shape[0]
+    backend = DebugBackend(F=F, n_rows=n)
+    tr = trace_std.astype(np.uint64)
+    nxt = np.roll(tr, -1, axis=0)
+    first = np.zeros(n, np.uint64)
+    first[0] = 1
+    last = np.zeros(n, np.uint64)
+    last[-1] = 1
+    trans = np.ones(n, np.uint64)
+    trans[-1] = 0
+
+    def entry(kind, j):
+        if kind == "local":
+            return tr[:, j]
+        if kind == "next":
+            return nxt[:, j]
+        return {"is_first_row": first, "is_last_row": last,
+                "is_transition": trans}[kind]
+
+    pcols = air.periodic_columns()
+    b = _make_builder(
+        backend, air.width, air.num_public_values, entry,
+        lambda j: np.full(n, int(public_values[j]) % F.P, np.uint64),
+        num_periodic=len(pcols),
+        periodic_entry=lambda j: np.asarray(
+            [pcols[j][i % len(pcols[j])] for i in range(n)], np.uint64
+        ),
+    )
+    air.eval(b)
+    inters = b.interactions
+    n_cols = len(plan)
+    P64 = np.uint64(F.P)
+
+    def ext_of(val_std):
+        """base (n,) numpy std -> (n, D) MONTY ext array."""
+        out = np.zeros((n, E.D), np.uint32)
+        out[:, 0] = F.to_monty_np((val_std % P64).astype(np.uint32))
+        return out
+
+    fracs = np.zeros((n_cols, n, E.D), np.uint32)  # monty
+    for c, col in enumerate(plan):
+        prefix = np.broadcast_to(
+            np.asarray(E.to_monty_np(chal_pairs[c][0])), (n, E.D)
+        )
+        beta_m = np.asarray(E.to_monty_np(chal_pairs[c][1]))
+        denoms, mults = [], []
+        for idx in col:
+            tuples, counts = _tuples_of(inters[idx])
+            for t, m in zip(tuples, counts):
+                comb = None
+                for f in t:
+                    fv = ext_of(np.asarray(f.v, np.uint64))
+                    if comb is None:
+                        comb = fv
+                    else:
+                        comb = E.add_np(E.mul_np(comb, beta_m), fv)
+                denoms.append(E.sub_np(prefix, comb))
+                mv = (
+                    np.asarray(m.v, np.uint64)
+                    if isinstance(m, Sym)
+                    else np.full(n, int(m) % F.P, np.uint64)
+                )
+                mults.append(F.to_monty_np((mv % P64).astype(np.uint32)))
+        k = len(denoms)
+        one = np.broadcast_to(
+            np.asarray(E.to_monty_np(E.one_h())), (n, E.D)
+        )
+        pref = [one]
+        for d_ in denoms:
+            pref.append(E.mul_np(pref[-1], d_))
+        suff = [one] * (k + 1)
+        for i in range(k - 1, -1, -1):
+            suff[i] = E.mul_np(suff[i + 1], denoms[i])
+        denomprod = pref[k]
+        num = np.zeros((n, E.D), np.uint32)
+        for i in range(k):
+            term = E.mul_np(pref[i], suff[i + 1])
+            num = E.add_np(num, E.base_mul_np(mults[i], term))
+        inv = np.asarray(E.inv(jnp.asarray(denomprod)))
+        fracs[c] = E.mul_np(num, inv)
+
+    # row sums + running accumulator (monty adds are plain mod-P adds)
+    row_sum = (
+        fracs.astype(np.uint64).sum(axis=0) % P64
+    )  # (n, D) monty
+    acc_inc = np.cumsum(row_sum, axis=0, dtype=np.uint64) % P64
+    acc = np.zeros((n, E.D), np.uint64)
+    acc[1:] = acc_inc[:-1]
+    terminal = tuple(
+        int(x)
+        for x in E.from_monty_np(acc_inc[-1].astype(np.uint32))
+    )
+    aux_m = np.concatenate(
+        [acc.astype(np.uint32)] + [fracs[c] for c in range(n_cols)],
+        axis=1,
+    )
+    return F.from_monty_np(aux_m), terminal
+
+
+# ---------------------------------------------------------------------------
+# keygen (common.rs from_airs_and_degrees)
+# ---------------------------------------------------------------------------
+@dataclass
+class BatchRefData:
+    plans: list  # per instance: packed column plan
+    log_chunks: list  # per instance
+    prep_meta: list  # per instance: None | (matrix_index, width)
+    matrix_to_instance: list
+    prep_data: object  # MerkleProverData | None
+    prep_traces: list  # per instance: None | np std matrix
+
+
+def keygen(config: StarkConfig, airs, log_degrees) -> BatchRefData:
+    F, E, pcs = config.F, config.E, config.pcs
+    plans, log_chunks = [], []
+    for air in airs:
+        _, sym_inters = _collect_sym(air)
+        # budget from the UNPACKED lookups (common.rs:276-291)
+        unpacked = [[i] for i in range(len(sym_inters))]
+        lc = log_chunks_with_lookups(air, E, unpacked)
+        budget = (1 << lc) + 1
+        plan = pack_plan(sym_inters, budget)
+        assert log_chunks_with_lookups(air, E, plan) == lc
+        plans.append(plan)
+        log_chunks.append(lc)
+
+    prep_meta, prep_traces = [], []
+    matrix_to_instance = []
+    domains_and_traces = []
+    for i, (air, log_n) in enumerate(zip(airs, log_degrees)):
+        prep = getattr(air, "preprocessed_trace", lambda: None)()
+        if prep is None or prep.shape[1] == 0:
+            prep_meta.append(None)
+            prep_traces.append(None)
+            continue
+        assert prep.shape[0] == (1 << log_n)
+        dom = pcs.natural_domain_for_degree(1 << log_n)
+        prep_meta.append((len(domains_and_traces), prep.shape[1]))
+        matrix_to_instance.append(i)
+        domains_and_traces.append(
+            (dom, jnp.asarray(F.to_monty_np(prep.astype(np.uint32))))
+        )
+        prep_traces.append(prep)
+    prep_data = (
+        pcs.commit(domains_and_traces) if domains_and_traces else None
+    )
+    return BatchRefData(
+        plans=plans, log_chunks=log_chunks, prep_meta=prep_meta,
+        matrix_to_instance=matrix_to_instance, prep_data=prep_data,
+        prep_traces=prep_traces,
+    )
+
+
+# ---------------------------------------------------------------------------
+# proof object (proof.rs)
+# ---------------------------------------------------------------------------
+@dataclass
+class BatchRefOpened:
+    trace_local: list
+    trace_next: object
+    preprocessed_local: object
+    preprocessed_next: object
+    quotient_chunks: list
+    permutation_local: list
+    permutation_next: list
+
+
+@dataclass
+class BatchRefProof:
+    main_commit: object
+    permutation_commit: object  # None if no lookups
+    quotient_commit: object
+    instances: list  # [BatchRefOpened]
+    opening_proof: object
+    lookup_terminals: list  # per instance: ext tuple | None
+    degree_bits: list
+
+
+def _observe_usize(ch, E, v):
+    """transcript.rs observe_usize: observe EF::from(v) = (v, 0, .., 0)."""
+    ch.observe_ext(tuple([int(v)] + [0] * (E.D - 1)))
+
+
+# ---------------------------------------------------------------------------
+# prover (prover.rs:103)
+# ---------------------------------------------------------------------------
+def prove_batch_ref(config: StarkConfig, instances, data: BatchRefData
+                    ) -> BatchRefProof:
+    F, E, pcs = config.F, config.E, config.pcs
+    airs = [inst.air for inst in instances]
+    n_inst = len(instances)
+    degrees = [inst.trace.shape[0] for inst in instances]
+    log_degrees = [log2_strict(d) for d in degrees]
+    plans = data.plans
+    n_chunks = [1 << lc for lc in data.log_chunks]
+
+    trace_domains = [
+        pcs.natural_domain_for_degree(d) for d in degrees
+    ]
+
+    ch = config.initialise_challenger()
+    _observe_usize(ch, E, n_inst)
+    for i in range(n_inst):
+        _observe_usize(ch, E, log_degrees[i])  # log_ext_degree (no ZK)
+        _observe_usize(ch, E, log_degrees[i])
+        _observe_usize(ch, E, airs[i].width)
+        _observe_usize(ch, E, n_chunks[i])
+
+    main_data = pcs.commit(
+        [(dom, inst.trace) for dom, inst in zip(trace_domains, instances)]
+    )
+    ch.observe_digest(main_data.commitment)
+    for inst in instances:
+        ch.observe_many(inst.public_values)
+    for i, air in enumerate(airs):
+        _observe_usize(
+            ch, E, data.prep_meta[i][1] if data.prep_meta[i] else 0
+        )
+    if data.prep_data is not None:
+        ch.observe_digest(data.prep_data.commitment)
+
+    # lookup challenges (transcript.rs sample_perm_challenges)
+    all_sym = [_collect_sym(air)[1] for air in airs]
+    any_lookup = any(plan for plan in plans)
+    chal_per_instance = [None] * n_inst
+    if any_lookup:
+        alpha_l = ch.sample_ext(E.D)
+        beta_l = ch.sample_ext(E.D)
+        bus_ids, num_buses, max_w = assign_buses(all_sym, plans)
+        prefixes = bus_prefixes(E, alpha_l, beta_l, max_w, num_buses)
+        for i in range(n_inst):
+            chal_per_instance[i] = [
+                (prefixes[bid], beta_l) for bid in bus_ids[i]
+            ]
+
+    # permutation traces + terminals
+    terminals = [None] * n_inst
+    perm_inputs = []
+    perm_index = {}
+    for i, inst in enumerate(instances):
+        if not plans[i]:
+            continue
+        trace_std = F.from_monty_np(np.asarray(inst.trace))
+        aux_std, terminal = generate_perm_trace(
+            E, inst.air, trace_std, inst.public_values, plans[i],
+            chal_per_instance[i],
+        )
+        terminals[i] = terminal
+        perm_index[i] = len(perm_inputs)
+        perm_inputs.append(
+            (trace_domains[i], jnp.asarray(F.to_monty_np(aux_std)))
+        )
+    perm_data = pcs.commit(perm_inputs) if perm_inputs else None
+    if perm_data is not None:
+        ch.observe_digest(perm_data.commitment)
+        for t in terminals:
+            if t is not None:
+                ch.observe_ext(t)
+    alpha = ch.sample_ext(E.D)
+
+    # quotient evaluation per instance
+    all_chunks = []
+    chunk_ranges = []
+    for i, inst in enumerate(instances):
+        dom = trace_domains[i]
+        qd = dom.create_disjoint_domain(n_chunks[i] << dom.log_n)
+        t_on_qd = pcs.get_evaluations_on_domain(main_data, i, qd)
+        p_on_qd = (
+            pcs.get_evaluations_on_domain(perm_data, perm_index[i], qd)
+            if plans[i] else None
+        )
+        q = _quotient_values_ref(
+            config, inst.air, E, dom, qd, t_on_qd, p_on_qd,
+            inst.public_values, plans[i], chal_per_instance[i],
+            terminals[i], alpha,
+        )
+        q_flat = q.reshape(qd.size, E.D)
+        start = len(all_chunks)
+        for cdom, cevals in zip(
+            qd.split_domains(n_chunks[i]),
+            qd.split_evals(n_chunks[i], q_flat),
+        ):
+            all_chunks.append((cdom, cevals))
+        chunk_ranges.append((start, len(all_chunks)))
+    quotient_data = pcs.commit(all_chunks)
+    ch.observe_digest(quotient_data.commitment)
+
+    zeta = ch.sample_ext(E.D)
+
+    rounds = []
+    main_points = [
+        [zeta, dom.next_point_ext(E, zeta)]
+        if airs[i].main_next_row_columns() != [] else [zeta]
+        for i, dom in enumerate(trace_domains)
+    ]
+    rounds.append((main_data, main_points))
+    rounds.append((quotient_data, [[zeta]] * len(all_chunks)))
+    if data.prep_data is not None:
+        pre_points = []
+        for inst_idx in data.matrix_to_instance:
+            dom = trace_domains[inst_idx]
+            pre_points.append([zeta, dom.next_point_ext(E, zeta)])
+        rounds.append((data.prep_data, pre_points))
+    if perm_data is not None:
+        perm_points = [
+            [zeta, trace_domains[i].next_point_ext(E, zeta)]
+            for i in range(n_inst) if plans[i]
+        ]
+        rounds.append((perm_data, perm_points))
+
+    opened, fri_proof = pcs.open(rounds, ch)
+
+    # assemble per-instance opened values
+    prep_round = 2 if data.prep_data is not None else None
+    perm_round = (
+        (3 if data.prep_data is not None else 2)
+        if perm_data is not None else None
+    )
+    insts = []
+    for i in range(n_inst):
+        tv = opened[0][i]
+        trace_local = tv[0]
+        trace_next = tv[1] if airs[i].main_next_row_columns() != [] else None
+        s, e = chunk_ranges[i]
+        qcs = [opened[1][j][0] for j in range(s, e)]
+        pre_l = pre_n = None
+        if data.prep_meta[i] is not None:
+            pv = opened[prep_round][data.prep_meta[i][0]]
+            pre_l, pre_n = pv[0], pv[1]
+        pl = pn = []
+        if plans[i]:
+            pv = opened[perm_round][perm_index[i]]
+            pl, pn = pv[0], pv[1]
+        insts.append(BatchRefOpened(
+            trace_local=trace_local, trace_next=trace_next,
+            preprocessed_local=pre_l, preprocessed_next=pre_n,
+            quotient_chunks=qcs, permutation_local=pl,
+            permutation_next=pn,
+        ))
+    return BatchRefProof(
+        main_commit=main_data.commitment,
+        permutation_commit=(
+            perm_data.commitment if perm_data is not None else None
+        ),
+        quotient_commit=quotient_data.commitment,
+        instances=insts,
+        opening_proof=fri_proof,
+        lookup_terminals=terminals,
+        degree_bits=log_degrees,
+    )
+
+
+def _quotient_values_ref(config, air, E, trace_domain, quotient_domain,
+                         t_on_qd, p_on_qd, public_values, plan,
+                         chal_pairs, terminal, alpha):
+    """Quotient over the coset with inner + lookup constraints folded in
+    the reference's global order (batch-stark/src/prover.rs:735)."""
+    import jax
+
+    F = config.F
+    Nq = quotient_domain.size
+    n_cons, _ = layout_with_lookups(air, E, plan)
+    alpha_pows = jnp.asarray(E.powers_np(alpha, n_cons)[::-1].copy())
+    sels = trace_domain.selectors_on_coset_device(quotient_domain)
+    next_step = Nq // trace_domain.size
+
+    local = t_on_qd
+    nxt = jnp.roll(t_on_qd, -next_step, axis=0)
+    if p_on_qd is not None:
+        perm_local_arr = p_on_qd
+        perm_next_arr = jnp.roll(p_on_qd, -next_step, axis=0)
+
+    backend = ProverBackend(F, E, alpha_pows)
+
+    def entry(kind, j):
+        if kind == "local":
+            return local[:, j]
+        if kind == "next":
+            return nxt[:, j]
+        return sels[kind]
+
+    publics_m = (
+        jnp.asarray(F.to_monty_np(
+            np.asarray(public_values, dtype=np.uint32)
+        )) if len(public_values) else jnp.zeros((0,), jnp.uint32)
+    )
+    pcols = air.periodic_columns()
+    if pcols:
+        from .prover import periodic_on_coset
+
+        pv = periodic_on_coset(F, pcols, trace_domain, quotient_domain)
+    b = _make_builder(
+        backend, air.width, air.num_public_values, entry,
+        lambda j: publics_m[j],
+        num_periodic=len(pcols),
+        periodic_entry=(lambda j: pv[:, j]) if pcols else None,
+    )
+    air.eval(b)
+    if plan:
+        n_aux = perm_local_arr.shape[1]
+        perm_local = [
+            Sym(backend, perm_local_arr[:, j]) for j in range(n_aux)
+        ]
+        perm_next = [
+            Sym(backend, perm_next_arr[:, j]) for j in range(n_aux)
+        ]
+        eval_lookups(b, E, plan, b.interactions, chal_pairs,
+                     perm_local, perm_next, terminal)
+    folded = backend.finalize((Nq,))
+    return E.base_mul(sels["inv_vanishing"], folded)
+
+
+# ---------------------------------------------------------------------------
+# verifier (batch-stark/src/verifier)
+# ---------------------------------------------------------------------------
+def verify_batch_ref(config: StarkConfig, airs, proof: BatchRefProof,
+                     public_values, data: BatchRefData):
+    from ..fri.verifier import FriError
+
+    F, E, pcs = config.F, config.E, config.pcs
+    n_inst = len(airs)
+    plans = data.plans
+    n_chunks = [1 << lc for lc in data.log_chunks]
+
+    # cross-AIR terminal sum (protocol.rs verify_terminal_sum)
+    total = E.zero_h()
+    for t in proof.lookup_terminals:
+        if t is not None:
+            total = E.add_h(total, t)
+    if total != E.zero_h():
+        raise VerificationError("lookup terminal sum non-zero")
+
+    log_degrees = proof.degree_bits
+    trace_domains = [
+        pcs.natural_domain_for_degree(1 << d) for d in log_degrees
+    ]
+    ch = config.initialise_challenger()
+    _observe_usize(ch, E, n_inst)
+    for i in range(n_inst):
+        _observe_usize(ch, E, log_degrees[i])
+        _observe_usize(ch, E, log_degrees[i])
+        _observe_usize(ch, E, airs[i].width)
+        _observe_usize(ch, E, n_chunks[i])
+    ch.observe_digest(proof.main_commit)
+    for pv in public_values:
+        ch.observe_many(pv)
+    for i in range(n_inst):
+        _observe_usize(
+            ch, E, data.prep_meta[i][1] if data.prep_meta[i] else 0
+        )
+    if data.prep_data is not None:
+        ch.observe_digest(data.prep_data.commitment)
+
+    all_sym = [_collect_sym(air)[1] for air in airs]
+    any_lookup = any(plan for plan in plans)
+    chal_per_instance = [None] * n_inst
+    if any_lookup:
+        alpha_l = ch.sample_ext(E.D)
+        beta_l = ch.sample_ext(E.D)
+        bus_ids, num_buses, max_w = assign_buses(all_sym, plans)
+        prefixes = bus_prefixes(E, alpha_l, beta_l, max_w, num_buses)
+        for i in range(n_inst):
+            chal_per_instance[i] = [
+                (prefixes[bid], beta_l) for bid in bus_ids[i]
+            ]
+        if proof.permutation_commit is None:
+            raise VerificationError("missing permutation commitment")
+        ch.observe_digest(proof.permutation_commit)
+        for t in proof.lookup_terminals:
+            if t is not None:
+                ch.observe_ext(t)
+    alpha = ch.sample_ext(E.D)
+    ch.observe_digest(proof.quotient_commit)
+    zeta = ch.sample_ext(E.D)
+
+    # shape checks
+    for i, (air, inst) in enumerate(zip(airs, proof.instances)):
+        if len(inst.trace_local) != air.width:
+            raise VerificationError("InvalidProofShape: trace width")
+        if len(inst.quotient_chunks) != n_chunks[i]:
+            raise VerificationError("InvalidProofShape: chunk count")
+        want_perm = (len(plans[i]) + 1) * E.D if plans[i] else 0
+        if len(inst.permutation_local) != want_perm:
+            raise VerificationError("InvalidProofShape: perm width")
+        if (inst.preprocessed_local is None) != (
+            data.prep_meta[i] is None
+        ):
+            raise VerificationError("InvalidProofShape: preprocessed")
+
+    # opening coordinates in round order
+    main_coords, quotient_coords = [], []
+    prep_coords, perm_coords = [], []
+    chunk_domain_list = []
+    for i, (dom, inst) in enumerate(zip(trace_domains, proof.instances)):
+        zeta_next = dom.next_point_ext(E, zeta)
+        pts = [(zeta, inst.trace_local)]
+        if airs[i].main_next_row_columns() != []:
+            pts.append((zeta_next, inst.trace_next))
+        main_coords.append((dom, pts))
+        qd = dom.create_disjoint_domain(n_chunks[i] << dom.log_n)
+        cds = qd.split_domains(n_chunks[i])
+        chunk_domain_list.append(cds)
+        for cdom, cvals in zip(cds, inst.quotient_chunks):
+            quotient_coords.append((cdom, [(zeta, cvals)]))
+    for inst_idx in data.matrix_to_instance:
+        dom = trace_domains[inst_idx]
+        inst = proof.instances[inst_idx]
+        prep_coords.append((dom, [
+            (zeta, inst.preprocessed_local),
+            (dom.next_point_ext(E, zeta), inst.preprocessed_next),
+        ]))
+    for i in range(n_inst):
+        if plans[i]:
+            dom = trace_domains[i]
+            inst = proof.instances[i]
+            perm_coords.append((dom, [
+                (zeta, inst.permutation_local),
+                (dom.next_point_ext(E, zeta), inst.permutation_next),
+            ]))
+
+    commits_coords = [
+        (proof.main_commit, main_coords),
+        (proof.quotient_commit, quotient_coords),
+    ]
+    if prep_coords:
+        commits_coords.append((data.prep_data.commitment, prep_coords))
+    if perm_coords:
+        commits_coords.append((proof.permutation_commit, perm_coords))
+    try:
+        pcs.verify(commits_coords, proof.opening_proof, ch)
+    except FriError as e:
+        raise VerificationError(f"InvalidOpeningArgument: {e}") from e
+
+    # per-instance constraint identity at zeta
+    for i, (air, inst, dom, cds) in enumerate(
+        zip(airs, proof.instances, trace_domains, chunk_domain_list)
+    ):
+        if dom.vanishing_poly_at_point_ext(E, zeta) == E.zero_h():
+            raise VerificationError("OodPointInDomain")
+        zps = []
+        for k, cdom in enumerate(cds):
+            acc = E.one_h()
+            for j, other in enumerate(cds):
+                if j == k:
+                    continue
+                num = other.vanishing_poly_at_point_ext(E, zeta)
+                den = other.vanishing_poly_at_point_ext(
+                    E, E.from_base_h(cdom.first_point())
+                )
+                acc = E.mul_h(acc, E.mul_h(num, E.inv_h(den)))
+            zps.append(acc)
+        quotient = E.zero_h()
+        for zp, chunk in zip(zps, inst.quotient_chunks):
+            val = E.zero_h()
+            for d, c in enumerate(chunk):
+                basis = [0] * E.D
+                basis[d] = 1
+                val = E.add_h(val, E.mul_h(c, tuple(basis)))
+            quotient = E.add_h(quotient, E.mul_h(zp, val))
+
+        sels = dom.selectors_at_point_ext(E, zeta)
+        backend = VerifierBackend(E, alpha)
+        lo = list(inst.trace_local)
+        nx = list(
+            inst.trace_next
+            if inst.trace_next is not None else inst.trace_local
+        )
+
+        def entry(kind, j, lo=lo, nx=nx, sels=sels):
+            if kind == "local":
+                return lo[j]
+            if kind == "next":
+                return nx[j]
+            return sels[kind]
+
+        pcols = air.periodic_columns()
+
+        def periodic_at_zeta(j, pcols=pcols, dom=dom):
+            from .prover import periodic_coeffs
+
+            col = pcols[j]
+            r = dom.size // len(col)
+            z_r = E.exp_h(zeta, r)
+            acc = E.zero_h()
+            for c in reversed(periodic_coeffs(F, col)):
+                acc = E.add_h(E.mul_h(acc, z_r), E.from_base_h(c))
+            return acc
+
+        b = _make_builder(
+            backend, air.width, air.num_public_values, entry,
+            lambda j, pv=public_values[i]: E.from_base_h(int(pv[j])),
+            num_periodic=len(pcols),
+            periodic_entry=periodic_at_zeta if pcols else None,
+        )
+        air.eval(b)
+        if plans[i]:
+            perm_l = list(inst.permutation_local)
+            perm_n = list(inst.permutation_next)
+            pl = [Sym(backend, v) for v in perm_l]
+            pn = [Sym(backend, v) for v in perm_n]
+            eval_lookups(b, E, plans[i], b.interactions,
+                         chal_per_instance[i], pl, pn,
+                         proof.lookup_terminals[i])
+        if E.mul_h(backend.acc, sels["inv_vanishing"]) != quotient:
+            raise VerificationError("OodEvaluationMismatch (batch ref)")
