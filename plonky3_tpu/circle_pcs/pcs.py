@@ -487,7 +487,7 @@ class CirclePcs:
         log_max = max(log_heights)
 
         fl_data = self.fri_mmcs.commit_ext_matrices(fl_mats)
-        challenger.observe_digest(fl_data.root_std)
+        challenger.observe_digest(fl_data.commitment)
         bivariate_beta = challenger.sample_ext(E.D)
 
         # fold_y each first layer, tallest first for FRI
@@ -557,7 +557,7 @@ class CirclePcs:
             folding=folding,
         )
         return opened_values, CirclePcsProof(
-            first_layer_commitment=fl_data.root_std,
+            first_layer_commitment=fl_data.commitment,
             lambdas=lambdas,
             fri_proof=fri_proof,
         )

@@ -109,6 +109,45 @@ def batch_two_adic_fixture_config() -> StarkConfig:
     )
 
 
+def batch_circle_fixture_config():
+    """make_circle_config (batch-stark/tests/simple.rs): M31 + cubic ext,
+    Keccak256 byte digests, cap-height-3 Merkle, SerializingChallenger32,
+    FRI {log_blowup:1, final:0, arity:1, queries:40, pow 8/8}."""
+    from ..challenger.serializing import SerializingChallenger32
+    from ..circle_pcs import CirclePcs
+    from ..fields.mersenne31 import M31Ext3, Mersenne31
+    from ..hashes.keccak256_mmcs import (
+        Keccak256Compressor,
+        Keccak256FieldHasher,
+    )
+
+    mmcs = MerkleTreeMmcs(
+        sponge=Keccak256FieldHasher(Mersenne31),
+        compressor=Keccak256Compressor(),
+        cap_height=3,
+    )
+    fri = FriParameters(
+        log_blowup=1,
+        log_final_poly_len=0,
+        max_log_arity=1,
+        num_queries=40,
+        commit_proof_of_work_bits=8,
+        query_proof_of_work_bits=8,
+    )
+    pcs = CirclePcs(
+        fri=fri,
+        mmcs=mmcs,
+        fri_mmcs=ExtensionMmcs(inner=mmcs, D=M31Ext3.D),
+        ext=M31Ext3,
+    )
+    return StarkConfig(
+        pcs=pcs,
+        challenger_factory=lambda: SerializingChallenger32(
+            Mersenne31, digest_bytes=True
+        ),
+    )
+
+
 def circle_fixture_config():
     """The circle golden-fixture config (fib_air.rs:200-233):
     Mersenne31 + cubic extension, Keccak256 byte digests,

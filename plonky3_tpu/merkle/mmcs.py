@@ -183,8 +183,14 @@ class MerkleTreeMmcs:
     sponge: PaddingFreeSponge
     compressor: TruncatedPermutation
     # Merkle cap height (mmcs/mod.rs:96): commitment = 2^cap_height
-    # digests from cap_height levels below the root; 0 = root only.
+    # digests from cap_height levels below the root; 0 = root only. The
+    # effective height clamps to the tree height (a 4-leaf tree under
+    # cap_height 3 commits its whole leaf-digest layer — matches the
+    # reference's behavior on small FRI round trees).
     cap_height: int = 0
+
+    def _eff_cap(self, log_max: int) -> int:
+        return min(self.cap_height, log_max)
 
     @property
     def F(self):
@@ -222,14 +228,15 @@ class MerkleTreeMmcs:
         root_std = tuple(
             int(x) for x in (F.from_monty_np(root_m) if dif else root_m)
         )
-        if self.cap_height == 0:
+        log_max = log2_strict(max(m.shape[0] for m in mats))
+        eff_cap = self._eff_cap(log_max)
+        if eff_cap == 0:
             cap_std = (root_std,)
         else:
-            log_max = log2_strict(max(m.shape[0] for m in mats))
-            assert min(m.shape[0] for m in mats) >= (1 << self.cap_height), (
+            assert min(m.shape[0] for m in mats) >= (1 << eff_cap), (
                 "matrix shorter than the Merkle cap layer cannot be opened"
             )
-            cap_m = np.asarray(layers[log_max - self.cap_height])
+            cap_m = np.asarray(layers[log_max - eff_cap])
             cap_conv = F.from_monty_np(cap_m) if dif else cap_m
             cap_std = tuple(
                 tuple(int(x) for x in row) for row in cap_conv
@@ -258,7 +265,7 @@ class MerkleTreeMmcs:
         host_layers = data.host_layers(F)
         proof = []
         idx = index
-        for lvl in range(log_max - self.cap_height):
+        for lvl in range(log_max - self._eff_cap(log_max)):
             sib = host_layers[lvl][idx ^ 1]
             proof.append(tuple(int(x) for x in sib))
             idx >>= 1
@@ -301,7 +308,7 @@ class MerkleTreeMmcs:
             return rows_pq, None
         sib_levels = []  # [level] -> (Q, digest_w) standard np
         idxs = np.array(indices, dtype=np.int64)
-        for lvl in range(log_max - self.cap_height):
+        for lvl in range(log_max - self._eff_cap(log_max)):
             layer = data.layers[lvl]
             want = (idxs ^ 1).astype(np.int32)
             if isinstance(layer, np.ndarray):
@@ -321,7 +328,7 @@ class MerkleTreeMmcs:
             proofs_pq.append(
                 [
                     tuple(int(x) for x in sib_levels[lvl][q])
-                    for lvl in range(log_max - self.cap_height)
+                    for lvl in range(log_max - self._eff_cap(log_max))
                 ]
             )
         return rows_pq, proofs_pq
@@ -336,8 +343,8 @@ class MerkleTreeMmcs:
         heights = [d[0] for d in dims]
         max_h = max(heights)
         log_max = log2_strict(max_h)
-        log_levels = log_max - self.cap_height
-        if min(heights) < (1 << self.cap_height):
+        log_levels = log_max - self._eff_cap(log_max)
+        if min(heights) < (1 << self._eff_cap(log_max)):
             return False
         order = sorted(range(len(dims)), key=lambda i: -heights[i])
         for rows in rows_pq:
@@ -381,12 +388,12 @@ class MerkleTreeMmcs:
                 digest = self.compressor.compress_np(digest, tips)
         if dif:
             digest = self.F.from_monty_np(digest)
-        if self.cap_height == 0:
+        if self._eff_cap(log_max) == 0:
             want = np.array(root_std, dtype=np.uint32)
             return bool((digest == want[None, :]).all())
         # cap comparison: each query's digest must equal its cap entry
         cap = np.array(root_std, dtype=np.uint32)  # (2^cap, dw)
-        if cap.ndim != 2 or cap.shape[0] != (1 << self.cap_height):
+        if cap.ndim != 2 or cap.shape[0] != (1 << self._eff_cap(log_max)):
             return False
         return bool((digest == cap[idx]).all())
 
@@ -397,8 +404,8 @@ class MerkleTreeMmcs:
         heights = [d[0] for d in dims]
         max_h = max(heights)
         log_max = log2_strict(max_h)
-        log_levels = log_max - self.cap_height
-        if len(proof) != log_levels or min(heights) < (1 << self.cap_height):
+        log_levels = log_max - self._eff_cap(log_max)
+        if len(proof) != log_levels or min(heights) < (1 << self._eff_cap(log_max)):
             return False
         order = sorted(range(len(dims)), key=lambda i: -heights[i])
 
@@ -427,9 +434,9 @@ class MerkleTreeMmcs:
             if inj:
                 tips = self.sponge.hash_iter_host(inj)
                 digest = self.compressor.compress_host(digest, tips)
-        if self.cap_height == 0:
+        if self._eff_cap(log_max) == 0:
             return tuple(digest) == tuple(root_std)
-        if len(root_std) != (1 << self.cap_height):
+        if len(root_std) != (1 << self._eff_cap(log_max)):
             return False
         return tuple(digest) == tuple(root_std[idx])
 
@@ -470,7 +477,7 @@ class MerkleTreeMmcs:
         frontier = sorted(set(int(i) for i in indices))
         want = []  # (level, node) in wire order
         by_level = {}
-        for lvl in range(log_max - self.cap_height):
+        for lvl in range(log_max - self._eff_cap(log_max)):
             present = set(frontier)
             for node in frontier:
                 if node ^ 1 not in present:
@@ -593,8 +600,8 @@ class MerkleTreeMmcs:
         sib_iter = iter(sibling_hashes)
         consumed = 0
         h = max_h
-        log_levels = log_max - self.cap_height
-        if min(heights) < (1 << self.cap_height):
+        log_levels = log_max - self._eff_cap(log_max)
+        if min(heights) < (1 << self._eff_cap(log_max)):
             return False
         for lvl in range(log_levels):
             h //= 2
@@ -641,13 +648,13 @@ class MerkleTreeMmcs:
             return False
         if dif:
             digests = self.F.from_monty_np(digests)
-        if self.cap_height == 0:
+        if self._eff_cap(log_max) == 0:
             want = np.array(root_std, dtype=np.uint32)
             return bool((digests[0] == want).all())
         # several frontier nodes may survive at the cap layer; each must
         # equal its committed cap entry
         cap = np.array(root_std, dtype=np.uint32)
-        if cap.ndim != 2 or cap.shape[0] != (1 << self.cap_height):
+        if cap.ndim != 2 or cap.shape[0] != (1 << self._eff_cap(log_max)):
             return False
         pos = {n: i for i, n in enumerate(nodes)}
         return all(
