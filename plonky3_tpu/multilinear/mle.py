@@ -20,15 +20,17 @@ def eq_table_device(E, r_ext):
     r_ext: list of ext tuples (host). Index bit i of x = variable i.
     """
     table = jnp.asarray(E.to_monty_np(E.one_h())).reshape(1, E.D)
-    for r in r_ext:
+    # each interleave step makes the CURRENT r the low index bit and
+    # shifts earlier ones up, so iterate high-to-low: after the loop,
+    # bit i of the index corresponds to r_ext[i] (the sumcheck binds
+    # bit 0 first = r_ext[0], matching eq(r, chs) = prod_k eq(r_k, ch_k))
+    for r in reversed(r_ext):
         r_m = jnp.asarray(E.to_monty_np(r))
         one_minus = jnp.asarray(
             E.to_monty_np(E.sub_h(E.one_h(), r))
         )
         lo = E.mul(table, one_minus)
         hi = E.mul(table, r_m)
-        # variable i is the low bit of the index prefix built so far:
-        # interleave (x_i = 0, x_i = 1)
         table = jnp.stack([lo, hi], axis=1).reshape(-1, E.D)
     return table
 

@@ -139,6 +139,43 @@ def verify_product_sumcheck(E, claim, polys, challenger):
 
 
 # ---------------------------------------------------------------------------
+# setup keys (multi-stark/src/keys.rs:30,64 — ProvingKey/VerifyingKey).
+# The reference's keys carry preprocessed commitments and the cached
+# constraint layout; ours cache the layout (there is no multilinear
+# preprocessed trace yet) and pin the AIR shape so prover and verifier
+# agree on the round-polynomial degrees without re-tracing per proof.
+# ---------------------------------------------------------------------------
+@dataclass(frozen=True)
+class VerifyingKey:
+    width: int
+    num_public_values: int
+    n_constraints: int
+    max_ml_degree: int
+    log_wp: int  # log2 of the padded (stacked) column count
+
+
+@dataclass(frozen=True)
+class ProvingKey:
+    vk: VerifyingKey
+
+
+def setup(pcs: "WhirPcs", air):
+    """One-time per-AIR preprocessing (keys.rs setup analog)."""
+    from .sumcheck import get_ml_layout
+
+    n_cons, max_deg = get_ml_layout(air)
+    wp = 1 << max((air.width - 1).bit_length(), 0)
+    vk = VerifyingKey(
+        width=air.width,
+        num_public_values=air.num_public_values,
+        n_constraints=n_cons,
+        max_ml_degree=max_deg,
+        log_wp=log2_strict(wp),
+    )
+    return ProvingKey(vk=vk), vk
+
+
+# ---------------------------------------------------------------------------
 # proof object
 # ---------------------------------------------------------------------------
 @dataclass
@@ -177,11 +214,14 @@ def _column_tables(E, coeffs_stacked, p, n_vars, wp):
 
 
 def prove_multi_stark(
-    pcs: WhirPcs, air, trace_std: np.ndarray, publics, challenger
+    pcs: WhirPcs, air, trace_std: np.ndarray, publics, challenger,
+    pk: ProvingKey | None = None,
 ):
     F, E = pcs.F, pcs.E
     n, w = trace_std.shape
     n_vars = log2_strict(n)
+    if pk is not None:
+        assert pk.vk.width == w and pk.vk.num_public_values == len(publics)
 
     stacked, wp = _stack_trace(F, trace_std)
     log_wp = log2_strict(wp)
@@ -282,11 +322,16 @@ def _gamma_table(E, gamma, w, wp):
 
 
 def verify_multi_stark(
-    pcs: WhirPcs, air, proof: MultiStarkProof, publics, challenger
+    pcs: WhirPcs, air, proof: MultiStarkProof, publics, challenger,
+    vk: VerifyingKey | None = None,
 ):
     F, E = pcs.F, pcs.E
     n_vars = proof.degree_bits
     w = air.width
+    if vk is not None and (
+        vk.width != w or vk.num_public_values != len(publics)
+    ):
+        raise MultiStarkError("KeyShapeMismatch")
     wp = 1 << max((w - 1).bit_length(), 0)
     log_wp = log2_strict(wp)
 

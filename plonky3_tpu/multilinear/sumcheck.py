@@ -32,6 +32,49 @@ from ..air.api import _make_builder, get_symbolic_layout
 from .mle import eq_table_device
 
 
+def get_ml_layout(air):
+    """(num_constraints, max multilinear degree): every builder entry —
+    trace columns AND boundary selectors — is a degree-1 multilinear
+    factor on the hypercube (multi-stark/src/selectors.rs: the selectors
+    are the closed-form MLEs eq(x,0), eq(x,1), 1-eq(x,1))."""
+    from ..air.api import _make_builder as _mb
+    from ..air.builder import SymbolicBackend
+
+    backend = SymbolicBackend()
+    b = _mb(
+        backend, air.width, air.num_public_values, lambda kind, j: 1,
+        lambda j: 0,
+        num_periodic=len(air.periodic_columns()),
+        periodic_entry=lambda j: 1,
+    )
+    air.eval(b)
+    degs = backend.constraint_degrees
+    return len(degs), (max(degs) if degs else 0)
+
+
+def selector_tables_device(E, num_vars: int):
+    """Device (2^n, D) ext tables of the boundary selector MLEs
+    sel_first = eq(x, 0..0) and sel_last = eq(x, 1..1)."""
+    n = 1 << num_vars
+    first = np.zeros((n, E.D), np.uint32)
+    last = np.zeros((n, E.D), np.uint32)
+    one_m = E.to_monty_np(E.one_h())
+    first[0] = one_m
+    last[n - 1] = one_m
+    return jnp.asarray(first), jnp.asarray(last)
+
+
+def boundary_evals_at(E, rs):
+    """BoundaryEvals::at (selectors.rs:100): (first, last, transition)
+    at the bound point rs."""
+    first = E.one_h()
+    last = E.one_h()
+    for r in rs:
+        first = E.mul_h(first, E.sub_h(E.one_h(), r))
+        last = E.mul_h(last, r)
+    return first, last, E.sub_h(E.one_h(), last)
+
+
 class _ExtArrayBackend:
     """AIR eval backend over device EXT arrays (alpha-folded)."""
 
@@ -64,12 +107,13 @@ class _ExtArrayBackend:
         self.acc = term if self.acc is None else self.E.add(self.acc, term)
 
 
-def _eval_constraints(E, air, cols_local, cols_next, publics, alpha_pows_m):
+def _eval_constraints(E, air, cols_local, cols_next, publics, alpha_pows_m,
+                      sel_first=None, sel_last=None):
     """Alpha-folded constraint values over (N, D) ext arrays.
 
-    Boundary selectors are zero in this zerocheck-lite (transition
-    constraints only get is_transition = 1; first/last-row constraints
-    are handled by the caller masking eq — see prove_zerocheck note)."""
+    Boundary selectors are the closed-form MLE columns (eq(x,0),
+    eq(x,1), 1-eq(x,1)) — degree-1 multilinear factors that fold along
+    with the trace columns (multi-stark/src/selectors.rs)."""
     backend = _ExtArrayBackend(E, alpha_pows_m)
     one = backend.const(1)
     zero = backend.const(0)
@@ -80,8 +124,13 @@ def _eval_constraints(E, air, cols_local, cols_next, publics, alpha_pows_m):
         if kind == "next":
             return cols_next[j]
         if kind == "is_transition":
-            return one
-        return zero  # is_first_row / is_last_row
+            return (
+                E.sub(jnp.broadcast_to(one, sel_last.shape), sel_last)
+                if sel_last is not None else one
+            )
+        if kind == "is_first_row":
+            return sel_first if sel_first is not None else zero
+        return sel_last if sel_last is not None else zero  # is_last_row
 
     builder = _make_builder(
         backend, air.width, air.num_public_values, entry,
@@ -140,13 +189,15 @@ def prove_zerocheck(E, air, trace_std, publics, challenger):
 
     The AIR's transition constraints are enforced cyclically (next row
     wraps, matching check_constraints semantics); first/last-row
-    constraints must be absent (boundary handling is the multi-stark
-    full integration, round 2). Returns (SumcheckProof, final point r',
-    claimed [local, next] MLE openings at r')."""
+    constraints are gated by the boundary-selector MLEs (selectors.rs),
+    which fold through the sumcheck like any other multilinear column
+    and are evaluated in closed form by the verifier. Returns
+    (SumcheckProof, final point r', claimed [local, next] MLE
+    openings at r')."""
     F = E.base
     n, w = trace_std.shape
     num_vars = n.bit_length() - 1
-    n_cons, max_deg = get_symbolic_layout(air)
+    n_cons, max_deg = get_ml_layout(air)
     deg_round = max_deg + 1  # eq factor adds one
 
     r = [challenger.sample_ext(E.D) for _ in range(num_vars)]
@@ -171,6 +222,7 @@ def prove_zerocheck(E, air, trace_std, publics, challenger):
     cols_local = [lift(tr_m[:, j]) for j in range(w)]
     cols_next = [lift(sh_m[:, j]) for j in range(w)]
     eq = eq_table_device(E, r)
+    sel_first, sel_last = selector_tables_device(E, num_vars)
 
     round_polys = []
     chs = []
@@ -182,7 +234,9 @@ def prove_zerocheck(E, air, trace_std, publics, challenger):
             nxt_t = [_fold_t(E, c, t) for c in cols_next]
             eq_t = _fold_t(E, eq, t)
             cvals = _eval_constraints(
-                E, air, loc_t, nxt_t, publics, ap_m
+                E, air, loc_t, nxt_t, publics, ap_m,
+                sel_first=_fold_t(E, sel_first, t),
+                sel_last=_fold_t(E, sel_last, t),
             )
             total = E.mul(eq_t, cvals)
             s = F.sum(total, axis=0)  # (D,) componentwise modular sum
@@ -197,6 +251,8 @@ def prove_zerocheck(E, air, trace_std, publics, challenger):
         cols_local = [_fold_ext(E, c, ch) for c in cols_local]
         cols_next = [_fold_ext(E, c, ch) for c in cols_next]
         eq = _fold_ext(E, eq, ch)
+        sel_first = _fold_ext(E, sel_first, ch)
+        sel_last = _fold_ext(E, sel_last, ch)
         claim = _lagrange_at(E, evals_t, ch)
 
     final_local = [
@@ -218,7 +274,7 @@ def verify_zerocheck(E, air, num_vars, publics, proof: SumcheckProof,
     from ..air.builder import VerifierBackend
 
     F = E.base
-    n_cons, max_deg = get_symbolic_layout(air)
+    n_cons, max_deg = get_ml_layout(air)
     deg_round = max_deg + 1
     r = [challenger.sample_ext(E.D) for _ in range(num_vars)]
     alpha = challenger.sample_ext(E.D)
@@ -248,6 +304,7 @@ def verify_zerocheck(E, air, num_vars, publics, proof: SumcheckProof,
         eq_val = E.mul_h(eq_val, term)
 
     backend = VerifierBackend(E, alpha)
+    sel_first, sel_last, sel_trans = boundary_evals_at(E, chs)
 
     def entry(kind, j):
         if kind == "local":
@@ -255,8 +312,10 @@ def verify_zerocheck(E, air, num_vars, publics, proof: SumcheckProof,
         if kind == "next":
             return final_next[j]
         if kind == "is_transition":
-            return E.one_h()
-        return E.zero_h()
+            return sel_trans
+        if kind == "is_first_row":
+            return sel_first
+        return sel_last  # is_last_row
 
     builder = _make_builder(
         backend, air.width, air.num_public_values, entry,

@@ -93,6 +93,41 @@ def test_multi_stark_roundtrip():
     verify_multi_stark(pcs, air, proof, [], challenger())
 
 
+def test_multi_stark_fibonacci_boundary():
+    """Full FibonacciAir with first/last-row constraints AND boundary
+    public values — the production path (selector MLEs + setup keys)."""
+    from plonky3_tpu.multilinear.multi_stark import setup
+
+    log_n = 4
+    trace_std, publics = generate_fibonacci_trace(F, log_n)
+    air = FibonacciAir(F)
+    pcs = make_pcs(log_n + 1)
+    pk, vk = setup(pcs, air)
+    assert vk.max_ml_degree == 2  # selector(1) x linear(1)
+    proof = prove_multi_stark(pcs, air, trace_std, publics, challenger(),
+                              pk=pk)
+    verify_multi_stark(pcs, air, proof, publics, challenger(), vk=vk)
+    # wrong boundary public value must be rejected
+    bad = list(publics)
+    bad[2] = (bad[2] + 1) % F.P
+    with pytest.raises((MultiStarkError, WhirError, ValueError)):
+        verify_multi_stark(pcs, air, proof, bad, challenger(), vk=vk)
+
+
+def test_multi_stark_fibonacci_bad_boundary_trace():
+    """A trace violating only the FIRST-ROW constraint must be caught."""
+    log_n = 4
+    trace_std, publics = generate_fibonacci_trace(F, log_n)
+    trace_std = trace_std.copy()
+    trace_std[0, 0] = (int(trace_std[0, 0]) + 1) % F.P  # breaks first row
+    air = FibonacciAir(F)
+    pcs = make_pcs(log_n + 1)
+    with pytest.raises((MultiStarkError, WhirError, ValueError)):
+        proof = prove_multi_stark(pcs, air, trace_std, publics,
+                                  challenger())
+        verify_multi_stark(pcs, air, proof, publics, challenger())
+
+
 def test_multi_stark_rejects_bad_trace():
     log_n = 4
     trace = make_trace(log_n)
