@@ -49,7 +49,13 @@ class WhirError(Exception):
 
 @dataclass(frozen=True)
 class WhirConfig:
-    """Protocol knobs (WhirConfig, whir/src/parameters/whir.rs:142)."""
+    """Protocol knobs (WhirConfig, whir/src/parameters/whir.rs:142).
+
+    The flat num_queries/ood_samples/pow_bits apply to every round
+    unless the per-round schedules (round_*) are set — from_security
+    derives those from a SecurityAssumption exactly as the reference's
+    WhirConfig::new round loop does (whir.rs:382-470; error calculators
+    security/src/{assumption,whir}.rs)."""
 
     log_blowup: int
     folding_factor: int  # k
@@ -57,12 +63,128 @@ class WhirConfig:
     num_queries: int
     ood_samples: int = 1
     pow_bits: int = 4
+    # per-round schedules (index = round, last entry = final round)
+    round_queries: tuple = None
+    round_ood: tuple = None
+    round_pow_bits: tuple = None
+    security_assumption: str = None  # "unique"|"johnson"|"capacity"
+    security_bits: int = None
 
     def num_rounds(self, n_vars: int) -> int:
         assert (n_vars - self.final_vars) % self.folding_factor == 0, (
             "n_vars - final_vars must be a multiple of the folding factor"
         )
         return (n_vars - self.final_vars) // self.folding_factor
+
+    def queries_at(self, rnd: int) -> int:
+        if self.round_queries is not None:
+            return self.round_queries[min(rnd, len(self.round_queries) - 1)]
+        return self.num_queries
+
+    def ood_at(self, rnd: int) -> int:
+        if self.round_ood is not None:
+            return self.round_ood[min(rnd, len(self.round_ood) - 1)]
+        return self.ood_samples
+
+    def pow_at(self, rnd: int) -> int:
+        if self.round_pow_bits is not None:
+            return self.round_pow_bits[
+                min(rnd, len(self.round_pow_bits) - 1)
+            ]
+        return self.pow_bits
+
+    @staticmethod
+    def from_security(security_bits: int, assumption: str, n_vars: int,
+                      field_bits: int, log_blowup: int = 1,
+                      folding_factor: int = 2, final_vars: int = None,
+                      max_pow_bits: int = 16) -> "WhirConfig":
+        """Derive the per-round query/OOD/PoW schedule from a security
+        assumption (whir/src/parameters/whir.rs:220 WhirConfig::new).
+
+        Per round: STIR queries priced at the CURRENT rate, OOD samples
+        and folding at the NEXT rate (the domain halves per round while
+        k variables fold, so log_inv_rate grows by k-1); PoW closes the
+        gap between the target and the weaker of the query / combination
+        errors."""
+        from . import whir_security as sec
+
+        k = folding_factor
+        if final_vars is None:
+            final_vars = n_vars % k if n_vars % k else k
+        m = (n_vars - final_vars) // k
+        assert m >= 1
+        protocol_level = max(0, security_bits - max_pow_bits)
+
+        queries, oods, pows = [], [], []
+        rate = log_blowup
+        nv = n_vars
+        for rnd in range(m):
+            next_rate = rate + (k - 1)
+            nq = sec.queries(assumption, protocol_level, rate)
+            ood = sec.determine_ood_samples(
+                assumption, security_bits, nv, next_rate, field_bits
+            )
+            q_err = sec.queries_error(assumption, rate, nq)
+            c_err = sec.queries_combination_error(
+                assumption, field_bits, nv, next_rate, ood, nq
+            )
+            pow_b = max(0.0, security_bits - min(q_err, c_err))
+            queries.append(nq)
+            oods.append(ood)
+            pows.append(int(pow_b + 0.999999))
+            rate = next_rate
+            nv -= k
+        # final round: queries at the last rate, no OOD
+        nq = sec.queries(assumption, protocol_level, rate)
+        q_err = sec.queries_error(assumption, rate, nq)
+        queries.append(nq)
+        oods.append(0)
+        pows.append(int(max(0.0, security_bits - q_err) + 0.999999))
+        return WhirConfig(
+            log_blowup=log_blowup,
+            folding_factor=k,
+            final_vars=final_vars,
+            num_queries=queries[0],
+            ood_samples=oods[0] if oods else 1,
+            pow_bits=pows[0] if pows else 0,
+            round_queries=tuple(queries),
+            round_ood=tuple(oods),
+            round_pow_bits=tuple(pows),
+            security_assumption=assumption,
+            security_bits=security_bits,
+        )
+
+    def soundness_report(self, n_vars: int, field_bits: int) -> dict:
+        """Achieved soundness bits per error source (security/src/whir.rs
+        composition; reported by the CLI after verification)."""
+        from . import whir_security as sec
+
+        if self.security_assumption is None:
+            return {}
+        a = self.security_assumption
+        k = self.folding_factor
+        m = self.num_rounds(n_vars)
+        rate = self.log_blowup
+        nv = n_vars
+        worst = float("inf")
+        terms = {}
+        for rnd in range(m + 1):
+            nq = self.queries_at(rnd)
+            pow_b = self.pow_at(rnd)
+            q = sec.queries_error(a, rate, nq) + pow_b
+            terms[f"round{rnd}_queries"] = round(q, 1)
+            worst = min(worst, q)
+            if rnd < m:
+                next_rate = rate + (k - 1)
+                ood = self.ood_at(rnd)
+                if ood:
+                    o = sec.ood_error(a, nv, next_rate, field_bits, ood)
+                    terms[f"round{rnd}_ood"] = round(o, 1)
+                    worst = min(worst, o)
+                rate = next_rate
+                nv -= k
+        terms["conjectured_bits"] = round(worst, 1)
+        return terms
 
 
 @dataclass
@@ -317,9 +439,10 @@ class WhirPcs:
             if rnd == M - 1:
                 for c in coeffs:
                     challenger.observe_ext(c)
-                pow_witness = challenger.grind(cfg.pow_bits)
+                pow_witness = challenger.grind(cfg.pow_at(rnd))
                 rows, qvals, qproof = self._answer_queries(
-                    prev_tree, prev_log_h, k, challenger, prev_ext
+                    prev_tree, prev_log_h, k, challenger, prev_ext,
+                    cfg.queries_at(rnd),
                 )
                 rounds.append(
                     WhirRoundProof(
@@ -342,16 +465,17 @@ class WhirPcs:
             challenger.observe_digest(tree.root_std)
 
             ood_values, new_pts = [], []
-            for _ in range(cfg.ood_samples):
+            for _ in range(cfg.ood_at(rnd)):
                 z = challenger.sample_ext(E.D)
                 v = eval_univariate(E, coeffs, z)
                 challenger.observe_ext(v)
                 ood_values.append(v)
                 new_pts.append((power_point(E, z, n_cur), v))
 
-            pow_witness = challenger.grind(cfg.pow_bits)
+            pow_witness = challenger.grind(cfg.pow_at(rnd))
             rows, qvals, qproof = self._answer_queries(
-                prev_tree, prev_log_h, k, challenger, prev_ext
+                prev_tree, prev_log_h, k, challenger, prev_ext,
+                cfg.queries_at(rnd),
             )
             for row, group in zip(rows, qvals):
                 y = _group_base_point(F, row, prev_log_h, k)
@@ -393,11 +517,14 @@ class WhirPcs:
             F, jnp.asarray(F.to_monty_np(arr)), blow, F.GENERATOR
         )
 
-    def _answer_queries(self, tree, log_h, k, challenger, is_ext):
+    def _answer_queries(self, tree, log_h, k, challenger, is_ext,
+                        n_queries=None):
         E, cfg = self.E, self.config
         rows = [
             challenger.sample_bits(log_h - k)
-            for _ in range(cfg.num_queries)
+            for _ in range(
+                n_queries if n_queries is not None else cfg.num_queries
+            )
         ]
         if is_ext:
             vals_pq, proof = self.fri_mmcs.open_multi_batch(tree, rows)
@@ -452,12 +579,12 @@ class WhirPcs:
                 for c in proof.final_poly:
                     challenger.observe_ext(c)
                 if not challenger.check_witness(
-                    cfg.pow_bits, rp.pow_witness
+                    cfg.pow_at(rnd), rp.pow_witness
                 ):
                     raise WhirError("InvalidPowWitness")
                 rows = [
                     challenger.sample_bits(prev_log_h - k)
-                    for _ in range(cfg.num_queries)
+                    for _ in range(cfg.queries_at(rnd))
                 ]
                 self._verify_openings(
                     prev_commit, prev_log_h, k, rows, rp, prev_ext
@@ -488,18 +615,20 @@ class WhirPcs:
             if rp.commitment is None:
                 raise WhirError("MissingRoundCommitment")
             challenger.observe_digest(rp.commitment)
-            if len(rp.ood_values) != cfg.ood_samples:
+            if len(rp.ood_values) != cfg.ood_at(rnd):
                 raise WhirError("OodCountMismatch")
             new_pts = []
             for v in rp.ood_values:
                 z = challenger.sample_ext(E.D)
                 challenger.observe_ext(v)
                 new_pts.append((power_point(E, z, n_cur), v))
-            if not challenger.check_witness(cfg.pow_bits, rp.pow_witness):
+            if not challenger.check_witness(
+                cfg.pow_at(rnd), rp.pow_witness
+            ):
                 raise WhirError("InvalidPowWitness")
             rows = [
                 challenger.sample_bits(prev_log_h - k)
-                for _ in range(cfg.num_queries)
+                for _ in range(cfg.queries_at(rnd))
             ]
             self._verify_openings(
                 prev_commit, prev_log_h, k, rows, rp, prev_ext

@@ -138,3 +138,31 @@ def test_whir_rejects_wrong_value():
     bad = tuple((c + 1) % F.P for c in value)
     with pytest.raises(WhirError):
         pcs.verify(commit, 6, point, bad, proof, challenger())
+
+
+def test_whir_from_security_roundtrip():
+    """Security-derived per-round schedule (queries/OOD/PoW from a
+    SecurityAssumption) proves and verifies; schedule is non-trivial."""
+    from plonky3_tpu.multilinear.whir import WhirConfig
+
+    n_vars = 6
+    field_bits = 4 * 31  # KoalaBear quartic extension
+    cfg = WhirConfig.from_security(
+        60, "johnson", n_vars, field_bits,
+        log_blowup=2, folding_factor=2, final_vars=2, max_pow_bits=8,
+    )
+    assert cfg.round_queries is not None
+    assert len(cfg.round_queries) == cfg.num_rounds(n_vars) + 1
+    # queries shrink as the rate improves round over round
+    assert cfg.round_queries[0] >= cfg.round_queries[-1]
+    rep = cfg.soundness_report(n_vars, field_bits)
+    assert rep["conjectured_bits"] >= 55  # ~security_bits, pow included
+
+    pcs = make_pcs(cfg)
+    rng = np.random.default_rng(5)
+    evals = F.rand_np(rng, (1 << n_vars,), monty=False)
+    commit, data = pcs.commit(evals)
+    point = [tuple(int(v) for v in F.rand_np(rng, (E.D,), monty=False))
+             for _ in range(n_vars)]
+    value, proof = pcs.open(data, point, challenger())
+    pcs.verify(commit, n_vars, point, value, proof, challenger())
