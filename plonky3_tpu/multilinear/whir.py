@@ -384,24 +384,33 @@ class WhirPcs:
     def open(self, data: WhirProverData, point: list, challenger):
         """Prove g(point); caller observes commitment/point/value first.
         Returns (value, WhirProof)."""
-        F, E, cfg = self.F, self.E, self.config
+        E = self.E
         n = log2_strict(data.coeffs.shape[0])
+        coeffs = [E.from_base_h(int(c)) for c in data.coeffs]
+        value = eval_multilinear_coeffs(E, coeffs, point)
+        proof = self._open_core(
+            coeffs, point, value, challenger, data.tree,
+            n + self.config.log_blowup, False,
+        )
+        return value, proof
+
+    def _open_core(self, coeffs, point, value, challenger, tree0,
+                   log_h0, ext0):
+        """The WHIR round loop from explicit ext coefficients and a
+        round-0 oracle (tree0/ext0; ext0 may be a _PairedTrees for the
+        hiding code-switch — see hiding_whir.py)."""
+        F, E, cfg = self.F, self.E, self.config
+        n = log2_strict(len(coeffs))
         k = cfg.folding_factor
         M = cfg.num_rounds(n)
         assert M >= 1, "need at least one WHIR round"
 
-        coeffs = [E.from_base_h(int(c)) for c in data.coeffs]
-        value = eval_multilinear_coeffs(E, coeffs, point)
         evals = coeffs_to_evals_ext(E, coeffs)
         w_table = eq_table(E, point)
         constraints = [(list(point), E.one_h())]
         claim = value
 
-        prev_tree, prev_log_h, prev_ext = (
-            data.tree,
-            n + cfg.log_blowup,
-            False,
-        )
+        prev_tree, prev_log_h, prev_ext = tree0, log_h0, ext0
         rounds = []
         n_cur = n
 
@@ -455,7 +464,7 @@ class WhirPcs:
                         query_proof=qproof,
                     )
                 )
-                return value, WhirProof(rounds=rounds, final_poly=coeffs)
+                return WhirProof(rounds=rounds, final_poly=coeffs)
 
             log_h = prev_log_h - 1
             cw = self._encode_ext(coeffs, log_h)
@@ -526,7 +535,29 @@ class WhirPcs:
                 n_queries if n_queries is not None else cfg.num_queries
             )
         ]
-        if is_ext:
+        if is_ext == "paired":
+            # hiding code-switch round 0: open BOTH the base (zk-encoded
+            # witness) tree and the ext mask tree; combined = g + rho*m
+            g_pq, g_proof = self.mmcs.open_multi_batch(tree.tree_g, rows)
+            m_pq, m_proof = self.fri_mmcs.open_multi_batch(
+                tree.tree_m, rows
+            )
+            rho = tree.rho
+            qvals = [
+                [
+                    E.add_h(E.from_base_h(gv), E.mul_h(rho, mv))
+                    for gv, mv in zip(gq[0], mq[0])
+                ]
+                for gq, mq in zip(g_pq, m_pq)
+            ]
+            proof = (
+                "paired",
+                [gq[0] for gq in g_pq],
+                g_proof,
+                [mq[0] for mq in m_pq],
+                m_proof,
+            )
+        elif is_ext:
             vals_pq, proof = self.fri_mmcs.open_multi_batch(tree, rows)
             qvals = [q[0] for q in vals_pq]
         else:
@@ -537,6 +568,13 @@ class WhirPcs:
     # -- verify ---------------------------------------------------------
     def verify(self, commitment, n_vars: int, point: list, value,
                proof: WhirProof, challenger):
+        self._verify_core(
+            commitment, n_vars, point, value, proof, challenger,
+            n_vars + self.config.log_blowup, False,
+        )
+
+    def _verify_core(self, commitment, n_vars: int, point: list, value,
+                     proof: WhirProof, challenger, log_h0: int, ext0):
         F, E, cfg = self.F, self.E, self.config
         k = cfg.folding_factor
         M = cfg.num_rounds(n_vars)
@@ -547,11 +585,7 @@ class WhirPcs:
 
         constraints = [(list(point), E.one_h())]
         claim = value
-        prev_commit, prev_log_h, prev_ext = (
-            commitment,
-            n_vars + cfg.log_blowup,
-            False,
-        )
+        prev_commit, prev_log_h, prev_ext = commitment, log_h0, ext0
         n_cur = n_vars
 
         for rnd, rp in enumerate(proof.rounds):
@@ -658,6 +692,36 @@ class WhirPcs:
         for g in rp.query_values:
             if len(g) != (1 << k):
                 raise WhirError("QueryGroupShapeMismatch")
+        if is_ext == "paired":
+            # hiding round 0: authenticate both trees, recombine, and pin
+            # the combined values the fold checks below will consume
+            if not (
+                isinstance(rp.query_proof, tuple)
+                and rp.query_proof[0] == "paired"
+            ):
+                raise WhirError("MissingPairedProof")
+            _, g_rows, g_proof, m_rows, m_proof = rp.query_proof
+            dims = [(1 << (log_h - k), 1 << k)]
+            if not self.mmcs.verify_multi_batch(
+                commit.commit_g, dims, rows,
+                [[g] for g in g_rows], g_proof,
+            ):
+                raise WhirError("MmcsError")
+            if not self.fri_mmcs.verify_multi_batch(
+                commit.commit_m, dims, rows,
+                [[m] for m in m_rows], m_proof,
+            ):
+                raise WhirError("MmcsError")
+            for qv, gq, mq in zip(rp.query_values, g_rows, m_rows):
+                comb = [
+                    E.add_h(
+                        E.from_base_h(gv), E.mul_h(commit.rho, mv)
+                    )
+                    for gv, mv in zip(gq, mq)
+                ]
+                if list(qv) != comb:
+                    raise WhirError("PairedCombineMismatch")
+            return
         if is_ext:
             ok = self.fri_mmcs.verify_multi_batch(
                 commit,

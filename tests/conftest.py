@@ -28,9 +28,8 @@ except Exception:
     pass
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import numpy as np
 import pytest
@@ -39,3 +38,20 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0xC0FFEE)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_jax_state():
+    """Clear jax's compiled-executable caches after every test module.
+
+    One long pytest process accumulates thousands of compiled XLA CPU
+    executables across ~40 test files; around executable ~10^3 the XLA
+    CPU compiler segfaults inside backend_compile_and_load (observed at
+    ~24% of the suite, reproducibly, with 126 GB RAM free — compiler
+    state, not memory pressure). Dropping the caches between modules
+    keeps the live-executable count bounded and the suite green in one
+    invocation."""
+    yield
+    import jax
+
+    jax.clear_caches()
