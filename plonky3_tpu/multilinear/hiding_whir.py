@@ -84,6 +84,22 @@ class HidingWhirPcs(WhirPcs):
 
     ZK = True
 
+    def commit_hiding_coeffs(self, coeffs_std: np.ndarray, rng,
+                             t: int = None):
+        """Commit a multilinear given its COEFFICIENT vector (the mask
+        oracle of the masked sumcheck stores per-round univariate mask
+        coefficients, whose arbitrary-point evaluations are MLE
+        evaluations at power points — whir's univariate/multilinear
+        correspondence)."""
+        from .whir import coeffs_to_evals_ext
+
+        F, E = self.F, self.E
+        ev = coeffs_to_evals_ext(
+            E, [E.from_base_h(int(c)) for c in coeffs_std]
+        )
+        evals = np.asarray([int(v[0]) for v in ev], np.uint32)
+        return self.commit_hiding(evals, rng, t=t)
+
     def commit_hiding(self, evals_std: np.ndarray, rng,
                       t: int = None):
         F, cfg = self.F, self.config
@@ -153,6 +169,72 @@ class HidingWhirPcs(WhirPcs):
         )
         return value, HidingWhirProof(
             mask_commit=tree_m.root_std, v_mask=v_mask, inner=inner
+        )
+
+    def open_hiding_multi(self, data: HidingWhirData, points_scales,
+                          claim, challenger, rng):
+        """HVZK batched opening of a weighted multi-point statement
+        Σ_i scale_i·g(p_i) = claim (the masked-sumcheck mask oracle).
+        Returns HidingWhirProof; the claim itself is the caller's."""
+        F, E, cfg = self.F, self.E, self.config
+        n1 = data.n_vars + 1
+        cons_p = [
+            (list(p) + [E.zero_h()], sc) for p, sc in points_scales
+        ]
+        coeffs_zk = [E.from_base_h(int(c)) for c in data.coeffs_zk]
+
+        m_std = np.stack(
+            [F.rand_np(rng, (1 << n1,), monty=False) for _ in range(E.D)],
+            axis=1,
+        )
+        mask_coeffs = [tuple(int(x) for x in row) for row in m_std]
+        m_cw = self._encode_ext(mask_coeffs, n1 + cfg.log_blowup)
+        tree_m = self.fri_mmcs.commit_ext_matrices(
+            [m_cw.reshape(-1, 1 << cfg.folding_factor, E.D)]
+        )
+        challenger.observe_digest(tree_m.root_std)
+        v_mask = E.zero_h()
+        for p, sc in cons_p:
+            v_mask = E.add_h(
+                v_mask,
+                E.mul_h(sc, eval_multilinear_coeffs(E, mask_coeffs, p)),
+            )
+        challenger.observe_ext(v_mask)
+        rho = challenger.sample_ext(E.D)
+
+        h_coeffs = [
+            E.add_h(g, E.mul_h(rho, m))
+            for g, m in zip(coeffs_zk, mask_coeffs)
+        ]
+        h_claim = E.add_h(claim, E.mul_h(rho, v_mask))
+        paired = _PairedTrees(
+            tree_g=data.tree, tree_m=tree_m, rho=rho
+        )
+        inner = self._open_core(
+            h_coeffs, None, h_claim, challenger, paired,
+            n1 + cfg.log_blowup, "paired", init_constraints=cons_p,
+        )
+        return HidingWhirProof(
+            mask_commit=tree_m.root_std, v_mask=v_mask, inner=inner
+        )
+
+    def verify_hiding_multi(self, commitment, n_vars: int, points_scales,
+                            claim, proof: HidingWhirProof, challenger):
+        E, cfg = self.E, self.config
+        n1 = n_vars + 1
+        cons_p = [
+            (list(p) + [E.zero_h()], sc) for p, sc in points_scales
+        ]
+        challenger.observe_digest(proof.mask_commit)
+        challenger.observe_ext(proof.v_mask)
+        rho = challenger.sample_ext(E.D)
+        h_claim = E.add_h(claim, E.mul_h(rho, proof.v_mask))
+        paired = _PairedCommit(
+            commit_g=commitment, commit_m=proof.mask_commit, rho=rho
+        )
+        self._verify_core(
+            paired, n1, None, h_claim, proof.inner, challenger,
+            n1 + cfg.log_blowup, "paired", init_constraints=cons_p,
         )
 
     # ------------------------------------------------------------------

@@ -395,10 +395,13 @@ class WhirPcs:
         return value, proof
 
     def _open_core(self, coeffs, point, value, challenger, tree0,
-                   log_h0, ext0):
+                   log_h0, ext0, init_constraints=None):
         """The WHIR round loop from explicit ext coefficients and a
         round-0 oracle (tree0/ext0; ext0 may be a _PairedTrees for the
-        hiding code-switch — see hiding_whir.py)."""
+        hiding code-switch — see hiding_whir.py). init_constraints: an
+        optional [(point, scale)] weighted statement replacing the
+        single-point one (claim = value = sum of scaled evaluations) —
+        the multi-point batching the reference's EqStatement carries."""
         F, E, cfg = self.F, self.E, self.config
         n = log2_strict(len(coeffs))
         k = cfg.folding_factor
@@ -406,8 +409,14 @@ class WhirPcs:
         assert M >= 1, "need at least one WHIR round"
 
         evals = coeffs_to_evals_ext(E, coeffs)
-        w_table = eq_table(E, point)
-        constraints = [(list(point), E.one_h())]
+        if init_constraints is None:
+            constraints = [(list(point), E.one_h())]
+        else:
+            constraints = [(list(p), sc) for p, sc in init_constraints]
+        w_table = [E.zero_h()] * (1 << n)
+        for p, sc in constraints:
+            for idx, e in enumerate(eq_table(E, p)):
+                w_table[idx] = E.add_h(w_table[idx], E.mul_h(sc, e))
         claim = value
 
         prev_tree, prev_log_h, prev_ext = tree0, log_h0, ext0
@@ -574,7 +583,8 @@ class WhirPcs:
         )
 
     def _verify_core(self, commitment, n_vars: int, point: list, value,
-                     proof: WhirProof, challenger, log_h0: int, ext0):
+                     proof: WhirProof, challenger, log_h0: int, ext0,
+                     init_constraints=None):
         F, E, cfg = self.F, self.E, self.config
         k = cfg.folding_factor
         M = cfg.num_rounds(n_vars)
@@ -583,7 +593,10 @@ class WhirPcs:
         if len(proof.final_poly) != 1 << cfg.final_vars:
             raise WhirError("FinalPolyLengthMismatch")
 
-        constraints = [(list(point), E.one_h())]
+        if init_constraints is None:
+            constraints = [(list(point), E.one_h())]
+        else:
+            constraints = [(list(p), sc) for p, sc in init_constraints]
         claim = value
         prev_commit, prev_log_h, prev_ext = commitment, log_h0, ext0
         n_cur = n_vars

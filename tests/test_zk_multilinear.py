@@ -141,3 +141,92 @@ def test_hiding_whir_leakage():
     # the h-transcript wires differ round by round (one-time masks)
     for r1, r2 in zip(proof1.inner.rounds, proof2.inner.rounds):
         assert r1.sumcheck_polys != r2.sumcheck_polys
+
+
+# ---------------------------------------------------------------------------
+# masked (HVZK) zerocheck
+# ---------------------------------------------------------------------------
+def _mask_pcs_for(air_vars):
+    from plonky3_tpu.multilinear.zk_sumcheck import _mask_layout
+
+    _, _, _, flat_len = _mask_layout(E, air_vars, 4)
+    n1 = flat_len.bit_length() - 1 + 1  # committed vars (with zk var)
+    mmcs = MerkleTreeMmcs(
+        sponge=PaddingFreeSponge(default_poseidon2(F, 24), rate=16, out=8),
+        compressor=TruncatedPermutation(default_poseidon2(F, 16), chunk=8),
+    )
+    k = 2
+    final = n1 % k if n1 % k else k
+    cfg = WhirConfig(
+        log_blowup=2, folding_factor=k, final_vars=final,
+        num_queries=6, ood_samples=1, pow_bits=1,
+    )
+    return HidingWhirPcs(F=F, E=E, config=cfg, mmcs=mmcs,
+                         fri_mmcs=ExtensionMmcs(inner=mmcs, D=E.D))
+
+
+def test_masked_zerocheck_roundtrip_and_tamper():
+    from plonky3_tpu.models.fibonacci import (
+        FibonacciAir, generate_fibonacci_trace,
+    )
+    from plonky3_tpu.multilinear.zk_sumcheck import (
+        prove_masked_zerocheck, verify_masked_zerocheck,
+    )
+
+    log_n = 4
+    trace, publics = generate_fibonacci_trace(F, log_n)
+    air = FibonacciAir(F)
+    pcs = _mask_pcs_for(log_n)
+    rng = np.random.default_rng(11)
+    proof = prove_masked_zerocheck(
+        E, air, trace.astype(np.uint64), publics, challenger(), pcs, rng
+    )
+    verify_masked_zerocheck(
+        E, air, log_n, publics, proof, challenger(), pcs
+    )
+    # tampered wire
+    bad = [list(r) for r in proof.rounds]
+    bad[0][0] = tuple((c + 1) % F.P for c in bad[0][0])
+    good_rounds = proof.rounds
+    proof.rounds = bad
+    with pytest.raises((ValueError, WhirError)):
+        verify_masked_zerocheck(
+            E, air, log_n, publics, proof, challenger(), pcs
+        )
+    proof.rounds = good_rounds
+    # tampered mask value must be caught by the hiding opening
+    mv = [list(c) for c in proof.mask_values]
+    mv[0][0] = tuple((c + 1) % F.P for c in mv[0][0])
+    good_mv = proof.mask_values
+    proof.mask_values = mv
+    with pytest.raises((ValueError, WhirError)):
+        verify_masked_zerocheck(
+            E, air, log_n, publics, proof, challenger(), pcs
+        )
+    proof.mask_values = good_mv
+
+
+def test_masked_zerocheck_wires_hide_the_trace():
+    """Two proofs of the SAME statement have entirely different wires
+    (one-time masks): nothing about the trace leaks through them."""
+    from plonky3_tpu.models.fibonacci import (
+        FibonacciAir, generate_fibonacci_trace,
+    )
+    from plonky3_tpu.multilinear.zk_sumcheck import prove_masked_zerocheck
+
+    log_n = 4
+    trace, publics = generate_fibonacci_trace(F, log_n)
+    air = FibonacciAir(F)
+    pcs = _mask_pcs_for(log_n)
+    p1 = prove_masked_zerocheck(
+        E, air, trace.astype(np.uint64), publics, challenger(),
+        pcs, np.random.default_rng(21),
+    )
+    p2 = prove_masked_zerocheck(
+        E, air, trace.astype(np.uint64), publics, challenger(),
+        pcs, np.random.default_rng(22),
+    )
+    assert p1.mu != p2.mu
+    for r1, r2 in zip(p1.rounds, p2.rounds):
+        assert all(a != b for a, b in zip(r1, r2))
+    assert p1.mask_values != p2.mask_values
