@@ -96,3 +96,48 @@ def test_full_prove_sharded_bit_identical(mesh, rng):
     assert flat(proof_single.opening_proof) == flat(
         proof_sharded.opening_proof
     )
+
+
+def _commit_step_hlo(mesh, shape):
+    mmcs = MerkleTreeMmcs(
+        sponge=PaddingFreeSponge(default_poseidon2(F, 24), rate=16, out=8),
+        compressor=TruncatedPermutation(default_poseidon2(F, 16), chunk=8),
+    )
+    row_sharding = NamedSharding(mesh, P("sp", None))
+
+    def commit_step(trace):
+        lde = coset_lde_batch_sharded(F, trace, 1, F.GENERATOR, mesh)
+        layers = sharded_tree_layers(mmcs, lde, mesh)
+        return layers[-1][0]
+
+    big = jax.ShapeDtypeStruct(shape, jnp.uint32, sharding=row_sharding)
+    return (
+        jax.jit(commit_step, in_shardings=(row_sharding,))
+        .lower(big)
+        .compile()
+        .as_text()
+    )
+
+
+def test_hlo_contains_expected_collectives(mesh):
+    """The compiled sharded commit pipeline must contain the NTT
+    phase-exchange all-to-all and a cap-gather collective — pins GSPMD
+    against silently serializing the program (VERDICT r2 #7)."""
+    hlo = _commit_step_hlo(mesh, (1 << 10, 64))
+    assert "all-to-all" in hlo
+    assert any(
+        op in hlo
+        for op in ("all-gather", "collective-permute", "all-reduce")
+    )
+
+
+@pytest.mark.slow
+def test_hlo_collectives_at_benchmark_shape(mesh):
+    """Same assertion at the real benchmark shape (2^14 rows x 1312 —
+    the Poseidon2 vector AIR width), compile-only."""
+    hlo = _commit_step_hlo(mesh, (1 << 14, 1312))
+    assert "all-to-all" in hlo
+    assert any(
+        op in hlo
+        for op in ("all-gather", "collective-permute", "all-reduce")
+    )
