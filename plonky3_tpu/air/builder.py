@@ -424,6 +424,20 @@ class DebugBackend:
         self.n = n_rows
         self.failures = []
         self.idx = 0
+        self._namespaces = []
+
+    # namespaced constraint labels (air/src/named.rs NamedAirBuilder):
+    # failures report under "a/b/<index>"
+    def push_namespace(self, name):
+        self._namespaces.append(str(name))
+
+    def pop_namespace(self):
+        self._namespaces.pop()
+
+    def _label(self):
+        if not self._namespaces:
+            return self.idx
+        return "/".join(self._namespaces) + f"/{self.idx}"
 
     def const(self, c):
         return np.full(self.n, c % self.F.P, dtype=np.uint64)
@@ -455,7 +469,7 @@ class DebugBackend:
         bad = np.nonzero(c != 0)[0]
         if bad.size:
             self.failures.append(
-                dict(constraint=self.idx, rows=bad[:10].tolist())
+                dict(constraint=self._label(), rows=bad[:10].tolist())
             )
         self.idx += 1
 
@@ -467,7 +481,7 @@ class DebugBackend:
         rows = np.nonzero(bad)[0]
         if rows.size:
             self.failures.append(
-                dict(constraint=self.idx, rows=rows[:10].tolist())
+                dict(constraint=self._label(), rows=rows[:10].tolist())
             )
         self.idx += 1
 

@@ -54,3 +54,46 @@ def test_bn254_field():
     assert BN254.exp_h(g, 1 << 28) == 1
     assert BN254.exp_h(g, 1 << 27) != 1
     assert BN254.two_adic_generator_h(1) == BN254.P - 1
+
+
+# ---------------------------------------------------------------------------
+# AIR composition (sub_builder / NamedAir / JoinedAir —
+# uni-stark/src/sub_builder.rs:45, air/src/named.rs:20)
+# ---------------------------------------------------------------------------
+def test_joined_air_end_to_end():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from plonky3_tpu.air.composition import JoinedAir, NamedAir
+    from plonky3_tpu.air.api import check_constraints
+    from plonky3_tpu.fields import KoalaBear as KB, KoalaBearExt4 as E4
+    from plonky3_tpu.fri.config import FriParameters
+    from plonky3_tpu.models.fibonacci import (
+        FibonacciAir,
+        generate_fibonacci_trace,
+    )
+    from plonky3_tpu.stark.config import poseidon2_stark_config
+    from plonky3_tpu.stark.prover import prove
+    from plonky3_tpu.stark.verifier import verify
+
+    # two independent Fibonacci gadget AIRs composed side by side
+    air = JoinedAir(
+        NamedAir("fib_a", FibonacciAir(KB)),
+        NamedAir("fib_b", FibonacciAir(KB)),
+    )
+    t1, p1 = generate_fibonacci_trace(KB, 4)
+    t2, p2 = generate_fibonacci_trace(KB, 4, a=2, b=3)
+    trace = np.concatenate([t1, t2], axis=1)
+    publics = p1 + p2
+    assert check_constraints(air, trace, publics) == []
+    cfg = poseidon2_stark_config(KB, E4, FriParameters.new_testing())
+    proof = prove(cfg, air, jnp.asarray(KB.to_monty_np(trace)), publics)
+    verify(cfg, air, proof, publics)
+
+    # a broken half reports failures under ITS namespace
+    bad = trace.copy()
+    bad[3, 2] = (int(bad[3, 2]) + 1) % KB.P
+    fails = check_constraints(air, bad, publics)
+    assert fails and all(
+        str(f["constraint"]).startswith("fib_b/") for f in fails
+    )
