@@ -180,7 +180,9 @@ def double(a):
 
 
 # ---------------------------------------------------------------------------
-# batched Poseidon2-Goldilocks width-8 (device)
+# batched Poseidon2-Goldilocks width-8 (device, lane-vectorized: the
+# S-box runs on the whole (..., 8) lane axis at once so the traced
+# graph stays ~30 mul-kernels deep instead of 8x that)
 # ---------------------------------------------------------------------------
 def _sbox7(x):
     x2 = square(x)
@@ -188,29 +190,44 @@ def _sbox7(x):
     return mul(mul(x4, x2), x)
 
 
-def _mat4(x):
-    t01 = add(x[0], x[1])
-    t23 = add(x[2], x[3])
-    t0123 = add(t01, t23)
-    t01123 = add(t0123, x[1])
-    t01233 = add(t0123, x[3])
-    return [
-        add(t01123, t01),
-        add(t01123, double(x[2])),
-        add(t01233, t23),
-        add(t01233, double(x[0])),
-    ]
+def _consts_vec(vals):
+    lo = np.asarray([v & 0xFFFFFFFF for v in vals], np.uint32)
+    hi = np.asarray([v >> 32 for v in vals], np.uint32)
+    return jnp.asarray(lo), jnp.asarray(hi)
 
 
-def _mds_light(s):
-    a = _mat4(s[0:4])
-    b = _mat4(s[4:8])
-    out = []
-    for i in range(4):
-        out.append(add(a[i], add(a[i], b[i])))
-    for i in range(4):
-        out.append(add(b[i], add(a[i], b[i])))
-    return out
+def _mds_light_vec(s):
+    """Width-8 external layer on (..., 8) lane-vectorized pairs."""
+
+    def lanes(p, idx):
+        return (p[0][..., idx], p[1][..., idx])
+
+    def mat4(x):  # x: pair with last dim 4
+        x0, x1 = lanes(x, slice(0, 1)), lanes(x, slice(1, 2))
+        x2, x3 = lanes(x, slice(2, 3)), lanes(x, slice(3, 4))
+        t01 = add(x0, x1)
+        t23 = add(x2, x3)
+        t0123 = add(t01, t23)
+        t01123 = add(t0123, x1)
+        t01233 = add(t0123, x3)
+        o0 = add(t01123, t01)
+        o1 = add(t01123, double(x2))
+        o2 = add(t01233, t23)
+        o3 = add(t01233, double(x0))
+        return (
+            jnp.concatenate([o0[0], o1[0], o2[0], o3[0]], axis=-1),
+            jnp.concatenate([o0[1], o1[1], o2[1], o3[1]], axis=-1),
+        )
+
+    a = mat4(lanes(s, slice(0, 4)))
+    b = mat4(lanes(s, slice(4, 8)))
+    tot = add(a, b)
+    left = add(a, tot)
+    right = add(b, tot)
+    return (
+        jnp.concatenate([left[0], right[0]], axis=-1),
+        jnp.concatenate([left[1], right[1]], axis=-1),
+    )
 
 
 def poseidon2_goldilocks_device(states):
@@ -224,48 +241,77 @@ def poseidon2_goldilocks_device(states):
         RC8_INTERNAL,
     )
 
-    lo, hi = states
-    s = [(lo[..., i], hi[..., i]) for i in range(8)]
-    s = _mds_light(s)
-    for rc in RC8_EXTERNAL_INITIAL:
-        s = [_sbox7(add(x, const(c))) for x, c in zip(s, rc)]
-        s = _mds_light(s)
-    for c in RC8_INTERNAL:
-        s[0] = _sbox7(add(s[0], const(c)))
-        total = s[0]
-        for x in s[1:]:
-            total = add(total, x)
-        s = [
-            add(total, mul(const(MATRIX_DIAG_8[i]), s[i]))
-            for i in range(8)
-        ]
-    for rc in RC8_EXTERNAL_FINAL:
-        s = [_sbox7(add(x, const(c))) for x, c in zip(s, rc)]
-        s = _mds_light(s)
-    return (
-        jnp.stack([x[0] for x in s], axis=-1),
-        jnp.stack([x[1] for x in s], axis=-1),
+    s = states
+    diag = _consts_vec(MATRIX_DIAG_8)
+
+    def rc_stack(rcs):
+        lo = np.asarray(
+            [[v & 0xFFFFFFFF for v in rc] for rc in rcs], np.uint32
+        )
+        hi = np.asarray([[v >> 32 for v in rc] for rc in rcs], np.uint32)
+        return jnp.asarray(lo), jnp.asarray(hi)
+
+    def full_round(s, rc):
+        s = _sbox7(add(s, rc))
+        return _mds_light_vec(s), None
+
+    def internal_round(s, rc):
+        lane0 = (s[0][..., :1], s[1][..., :1])
+        lane0 = _sbox7(add(lane0, (rc[0], rc[1])))
+        s = (
+            jnp.concatenate([lane0[0], s[0][..., 1:]], axis=-1),
+            jnp.concatenate([lane0[1], s[1][..., 1:]], axis=-1),
+        )
+        # total = sum of lanes (log-tree of 64-bit adds)
+        t4 = add(
+            (s[0][..., :4], s[1][..., :4]),
+            (s[0][..., 4:], s[1][..., 4:]),
+        )
+        t2 = add(
+            (t4[0][..., :2], t4[1][..., :2]),
+            (t4[0][..., 2:], t4[1][..., 2:]),
+        )
+        t1 = add(
+            (t2[0][..., :1], t2[1][..., :1]),
+            (t2[0][..., 1:], t2[1][..., 1:]),
+        )
+        total = (
+            jnp.broadcast_to(t1[0], s[0].shape),
+            jnp.broadcast_to(t1[1], s[1].shape),
+        )
+        return add(total, mul(diag, s)), None
+
+    s = _mds_light_vec(s)
+    s, _ = jax.lax.scan(full_round, s, rc_stack(RC8_EXTERNAL_INITIAL))
+    rc_int = (
+        jnp.asarray(
+            [[v & 0xFFFFFFFF] for v in RC8_INTERNAL], np.uint32
+        ),
+        jnp.asarray([[v >> 32] for v in RC8_INTERNAL], np.uint32),
     )
+    s, _ = jax.lax.scan(
+        internal_round, s, (rc_int[0], rc_int[1])
+    )
+    s, _ = jax.lax.scan(full_round, s, rc_stack(RC8_EXTERNAL_FINAL))
+    return s
 
 
-@jax.jit
+_PERM_JIT = jax.jit(poseidon2_goldilocks_device)
+
+
 def _merkle_layers_device(lo, hi):
     """Device Goldilocks Merkle commit of an (h, 8) matrix: leaf = one
     permutation of the row (digest = first 4 lanes), then 2-to-1
-    truncated-permutation compression per level. Returns flat digest
-    layer list (each (h_l, 4) pairs)."""
-    h = lo.shape[0]
-    plo, phi = poseidon2_goldilocks_device((lo, hi))
+    truncated-permutation compression per level (eager ladder; the
+    jitted permutation is shape-cached per level)."""
+    plo, phi = _PERM_JIT((lo, hi))
     layer = (plo[:, :4], phi[:, :4])
     layers = [layer]
     while layer[0].shape[0] > 1:
         ll, lh = layer
-        m = ll.shape[0] // 2
-        cat_lo = jnp.concatenate(
-            [ll[0::2], ll[1::2]], axis=1
-        )  # (m, 8): left digest then right digest
+        cat_lo = jnp.concatenate([ll[0::2], ll[1::2]], axis=1)
         cat_hi = jnp.concatenate([lh[0::2], lh[1::2]], axis=1)
-        plo, phi = poseidon2_goldilocks_device((cat_lo, cat_hi))
+        plo, phi = _PERM_JIT((cat_lo, cat_hi))
         layer = (plo[:, :4], phi[:, :4])
         layers.append(layer)
     return layers

@@ -8,24 +8,32 @@ sharding paths are exercised without TPU hardware.
 import os
 
 # Force CPU: the ambient environment pins JAX_PLATFORMS=axon (one shared TPU
-# chip). Tests must run on the 8-device virtual CPU mesh. Note the ambient
-# sitecustomize imports jax at interpreter startup, so the env var alone is
-# too late — update jax.config directly (before any backend initializes).
+# chip). Tests must run on the 8-device virtual CPU mesh.
+#
+# FAST PATH: when the invoker already exported JAX_PLATFORMS=cpu before the
+# interpreter started (tools/ci.sh does), the ambient sitecustomize saw it
+# and nothing needs patching. Calling jax.config.update("jax_platforms")
+# post-import instead routes EVERY primitive dispatch through the axon
+# register's uncached-backend shim (~75 ms per eager op, 7x slower
+# compiles) — so only fall back to the config override when the env came
+# in pointing at the axon chip.
+_pre = os.environ.get("JAX_PLATFORMS")
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if _pre != "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
-# The sitecustomize also registers the axon TPU backend factory in every
-# python process; initializing it costs minutes (remote chip claim). Drop
-# the factory before any jax op so tests never touch it.
-try:
-    import jax._src.xla_bridge as _xb
+    # The sitecustomize also registers the axon TPU backend factory in
+    # every python process; initializing it costs minutes (remote chip
+    # claim). Drop the factory before any jax op so tests never touch it.
+    try:
+        import jax._src.xla_bridge as _xb
 
-    _xb._backend_factories.pop("axon", None)
-except Exception:
-    pass
+        _xb._backend_factories.pop("axon", None)
+    except Exception:
+        pass
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()

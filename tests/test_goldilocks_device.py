@@ -9,9 +9,18 @@ from plonky3_tpu.hashes.poseidon2_goldilocks import (
     poseidon2_goldilocks_permute,
 )
 
+import jax
 import jax.numpy as jnp
 
 P = Goldilocks.P
+
+# eager per-op dispatch costs ~100 ms in this environment — jit every
+# kernel under test (the shipped call sites are jitted too)
+_add = jax.jit(gd.add)
+_sub = jax.jit(gd.sub)
+_mul = jax.jit(gd.mul)
+_neg = jax.jit(gd.neg)
+_sq = jax.jit(gd.square)
 
 
 def _pairs(x64):
@@ -42,11 +51,11 @@ def test_gl_device_add_sub_mul_lockstep():
     A, B = _pairs(a), _pairs(b)
     a_i = a.astype(object)
     b_i = b.astype(object)
-    assert (_back(gd.add(A, B)) == (a_i + b_i) % P).all()
-    assert (_back(gd.sub(A, B)) == (a_i - b_i) % P).all()
-    assert (_back(gd.mul(A, B)) == (a_i * b_i) % P).all()
-    assert (_back(gd.neg(A)) == (-a_i) % P).all()
-    assert (_back(gd.square(A)) == (a_i * a_i) % P).all()
+    assert (_back(_add(A, B)) == (a_i + b_i) % P).all()
+    assert (_back(_sub(A, B)) == (a_i - b_i) % P).all()
+    assert (_back(_mul(A, B)) == (a_i * b_i) % P).all()
+    assert (_back(_neg(A)) == (-a_i) % P).all()
+    assert (_back(_sq(A)) == (a_i * a_i) % P).all()
 
 
 def test_gl_device_mul_edge_pairs():
@@ -54,32 +63,34 @@ def test_gl_device_mul_edge_pairs():
     n = len(EDGE)
     a = np.repeat(EDGE, n)
     b = np.tile(EDGE, n)
-    got = _back(gd.mul(_pairs(a), _pairs(b)))
+    got = _back(_mul(_pairs(a), _pairs(b)))
     want = (a.astype(object) * b.astype(object)) % P
     assert (got == want).all()
 
 
 def test_gl_device_poseidon2_kat_and_lockstep():
-    # reference KAT (goldilocks/src/poseidon2.rs:1236-1253)
-    st = np.arange(8, dtype=np.uint64).reshape(1, 8)
-    lo, hi = gd.split_np(st)
-    out = gd.poseidon2_goldilocks_device((jnp.asarray(lo), jnp.asarray(hi)))
-    got = gd.join_np(np.asarray(out[0][0]), np.asarray(out[1][0]))
-    assert list(got) == poseidon2_goldilocks_permute(list(range(8)))
-    # random batch lockstep
+    # one batch, ONE compile: row 0 is the reference KAT input
+    # (goldilocks/src/poseidon2.rs:1236-1253), rows 1.. random lockstep
     rng = np.random.default_rng(3)
-    states = rng.integers(0, P, size=(16, 8), dtype=np.uint64)
+    states = rng.integers(0, P, size=(8, 8), dtype=np.uint64)
+    states[0] = np.arange(8, dtype=np.uint64)
     lo, hi = gd.split_np(states)
-    out = gd.poseidon2_goldilocks_device((jnp.asarray(lo), jnp.asarray(hi)))
+    out = gd._PERM_JIT((jnp.asarray(lo), jnp.asarray(hi)))
     got = gd.join_np(np.asarray(out[0]), np.asarray(out[1]))
-    for i in range(16):
+    assert [int(x) for x in got[0]] == [
+        0x020CF04A1B214D14, 0x84E14AAAEACAED25,
+        0x1AE0F640E81C7457, 0xA4D204CBAEB0D8A5,
+        0x0CF637B627B3A7FF, 0x788D304D948B486B,
+        0x7327133EA1949AF4, 0xF415ABB924DA395B,
+    ]
+    for i in range(8):
         want = poseidon2_goldilocks_permute([int(x) for x in states[i]])
         assert [int(x) for x in got[i]] == want
 
 
 def test_gl_device_merkle_commit_matches_host():
     rng = np.random.default_rng(5)
-    mat = rng.integers(0, P, size=(32, 8), dtype=np.uint64)
+    mat = rng.integers(0, P, size=(4, 8), dtype=np.uint64)
     root = gd.gl_merkle_commit_device(mat)
     # host reference: same leaf/compress schedule with exact ints
     digests = [
