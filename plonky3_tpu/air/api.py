@@ -68,8 +68,17 @@ def _make_builder(backend, width, num_public, entry, public_entry,
     return b
 
 
+_LAYOUT_CACHE: dict = {}
+
+
 def get_symbolic_layout(air: BaseAir):
-    """(num_constraints, max_degree) via degree tracing."""
+    """(num_constraints, max_degree) via degree tracing (cached per AIR
+    instance — the 1312-column symbolic pass costs ~40 ms per call and
+    sat on every prove's critical path)."""
+    key = id(air)
+    hit = _LAYOUT_CACHE.get(key)
+    if hit is not None and hit[0] is air:
+        return hit[1]
     backend = SymbolicBackend()
 
     def entry(kind, j):
@@ -82,7 +91,9 @@ def get_symbolic_layout(air: BaseAir):
     )
     air.eval(builder)
     degs = backend.constraint_degrees
-    return len(degs), (max(degs) if degs else 0)
+    out = (len(degs), (max(degs) if degs else 0))
+    _LAYOUT_CACHE[key] = (air, out)
+    return out
 
 
 def get_log_num_quotient_chunks(air: BaseAir) -> int:
