@@ -113,7 +113,9 @@ def check_constraints(air: BaseAir, trace_std: np.ndarray, public_values):
     """
     n = trace_std.shape[0]
     backend = DebugBackend(F=air.field, n_rows=n)
-    tr = trace_std.astype(np.uint64)
+    # object dtype for >32-bit fields (Goldilocks): uint64 products wrap
+    dt = object if air.field.P > 0xFFFFFFFF else np.uint64
+    tr = trace_std.astype(dt)
     nxt = np.roll(tr, -1, axis=0)
     first = np.zeros(n, np.uint64)
     first[0] = 1
@@ -133,7 +135,7 @@ def check_constraints(air: BaseAir, trace_std: np.ndarray, public_values):
     pcols = air.periodic_columns()
     builder = _make_builder(
         backend, air.width, air.num_public_values, entry,
-        lambda j: np.full(n, public_values[j] % air.field.P, np.uint64),
+        lambda j: np.full(n, public_values[j] % air.field.P, dt),
         num_periodic=len(pcols),
         periodic_entry=lambda j: np.asarray(
             [pcols[j][i % len(pcols[j])] for i in range(n)], np.uint64

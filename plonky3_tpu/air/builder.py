@@ -417,7 +417,10 @@ class VerifierBackend:
 
 
 class DebugBackend:
-    """Numpy exact per-row evaluation with failure reports."""
+    """Numpy exact per-row evaluation with failure reports.
+
+    Fields wider than 32 bits (Goldilocks) switch to object-dtype
+    arrays: uint64 products would wrap, python ints are exact."""
 
     def __init__(self, F, n_rows):
         self.F = F
@@ -425,6 +428,7 @@ class DebugBackend:
         self.failures = []
         self.idx = 0
         self._namespaces = []
+        self.big = F.P > 0xFFFFFFFF
 
     # namespaced constraint labels (air/src/named.rs NamedAirBuilder):
     # failures report under "a/b/<index>"
@@ -440,26 +444,38 @@ class DebugBackend:
         return "/".join(self._namespaces) + f"/{self.idx}"
 
     def const(self, c):
+        if self.big:
+            return np.full(self.n, int(c) % self.F.P, dtype=object)
         return np.full(self.n, c % self.F.P, dtype=np.uint64)
 
     def const_vec(self, values):
         # lane-stacked values are LISTS here (stack = list), so the
         # constant vector is one broadcastable scalar per lane
+        if self.big:
+            return [int(v) % self.F.P for v in values]
         return [np.uint64(int(v) % self.F.P) for v in values]
 
     def add(self, a, b):
+        if self.big:
+            return _ew(lambda x, y: (x + y) % self.F.P, a, b)
         return _ew(lambda x, y: (x + y) % np.uint64(self.F.P), a, b)
 
     def sub(self, a, b):
+        if self.big:
+            return _ew(lambda x, y: (x - y) % self.F.P, a, b)
         return _ew(
             lambda x, y: (x + np.uint64(self.F.P) - y) % np.uint64(self.F.P),
             a, b,
         )
 
     def mul(self, a, b):
+        if self.big:
+            return _ew(lambda x, y: (x * y) % self.F.P, a, b)
         return _ew(lambda x, y: (x * y) % np.uint64(self.F.P), a, b)
 
     def neg(self, a):
+        if self.big:
+            return _ew(lambda x, _: (-x) % self.F.P, a, a)
         return _ew(
             lambda x, _: (np.uint64(self.F.P) - x) % np.uint64(self.F.P),
             a, a,
