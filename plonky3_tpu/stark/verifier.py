@@ -16,7 +16,28 @@ from .proof import Proof
 
 
 class VerificationError(Exception):
-    pass
+    """Base verification failure (uni-stark/src/error.rs:10).
+
+    Typed subclasses mirror the reference's enum variants so callers can
+    match on the failure class instead of parsing message strings; the
+    base class is preserved for backwards-compatible `except` clauses.
+    """
+
+
+class InvalidProofShape(VerificationError):
+    """Structural mismatch: widths, chunk counts, degree bounds."""
+
+
+class OodPointInDomain(VerificationError):
+    """The sampled out-of-domain point landed on the trace domain."""
+
+
+class InvalidOpeningArgument(VerificationError):
+    """The PCS/FRI opening proof failed (wraps the FRI taxonomy)."""
+
+
+class OodEvaluationMismatch(VerificationError):
+    """C_fold(zeta)/Z_H(zeta) != Q(zeta) (verifier.rs:197)."""
 
 
 def verify(
@@ -34,7 +55,7 @@ def verify(
     log_max = getattr(pcs, "log_max_lde_height", None)
     log_max = log_max() if log_max else F.TWO_ADICITY
     if log_n > log_max - pcs.fri.log_blowup:
-        raise VerificationError("InvalidProofShape: degree too large")
+        raise InvalidProofShape("InvalidProofShape: degree too large")
     n = 1 << log_n
 
     log_num_chunks = get_log_num_quotient_chunks(air)
@@ -51,7 +72,7 @@ def verify(
         or len(ov.quotient_chunks) != num_chunks
         or any(len(ch) != E.D for ch in ov.quotient_chunks)
     ):
-        raise VerificationError("InvalidProofShape")
+        raise InvalidProofShape("InvalidProofShape: opened value shapes")
 
     trace_domain = pcs.natural_domain_for_degree(n)
     quotient_domain = trace_domain.create_disjoint_domain(
@@ -75,7 +96,7 @@ def verify(
     # vanishing polynomial, which is zero exactly on the domain. Honest
     # Fiat-Shamir sampling reaches this only with probability |H|/|EF|.
     if trace_domain.vanishing_poly_at_point_ext(E, zeta) == E.zero_h():
-        raise VerificationError("OodPointInDomain")
+        raise OodPointInDomain("OodPointInDomain")
 
     trace_claims = [(zeta, ov.trace_local)]
     if uses_next:
@@ -98,7 +119,7 @@ def verify(
             ch,
         )
     except FriError as e:
-        raise VerificationError(f"InvalidOpeningArgument: {e}") from e
+        raise InvalidOpeningArgument(f"InvalidOpeningArgument: {e}") from e
 
     # recompose Q(ζ) from chunks (verifier.rs:98)
     zps = []
@@ -163,4 +184,4 @@ def verify(
     folded = backend.acc
 
     if E.mul_h(folded, sels["inv_vanishing"]) != quotient:
-        raise VerificationError("OodEvaluationMismatch")
+        raise OodEvaluationMismatch("OodEvaluationMismatch")
