@@ -111,3 +111,79 @@ def test_rpo_goldilocks_kat():
         16506822133651532340, 10593868791806571942, 9413309068803954142,
         15946782832277734471, 7904287043744270535, 16548919317472389167,
     ]
+
+
+# ---------------------------------------------------------------------------
+# fast MDS strategies (mds/src/coset_mds.rs:25, karatsuba_convolution.rs)
+# ---------------------------------------------------------------------------
+def test_coset_mds_matches_dense_and_is_invertible():
+    import numpy as np
+
+    from plonky3_tpu.fields import KoalaBear as F
+    from plonky3_tpu.hashes.mds import CosetMds
+
+    mds = CosetMds(F=F, width=8)
+    rng = np.random.default_rng(0)
+    state = [int(v) for v in rng.integers(0, F.P, 8, dtype=np.uint64)]
+    # host == dense-matrix path == batched numpy path
+    dense = mds._matrix_np()
+    want = [
+        int(sum(int(dense[i, j]) * state[j] for j in range(8)) % F.P)
+        for i in range(8)
+    ]
+    assert mds.permute_host(state) == want
+    got_np = mds.permute_np(np.asarray([state], np.uint64))[0]
+    assert [int(x) for x in got_np] == want
+    # device path (coset LDE pipeline) in Monty form
+    import jax.numpy as jnp
+
+    st_m = jnp.asarray(F.to_monty_np(np.asarray([state], np.uint32)))
+    got_dev = F.from_monty_np(np.asarray(mds.permute_device(st_m)))[0]
+    assert [int(x) for x in got_dev] == want
+    # invertible (hence candidate-MDS): dense determinant != 0 mod P
+    m = dense.astype(object) % F.P
+    # Gaussian elimination over F
+    n = 8
+    rank = 0
+    m = [list(row) for row in m]
+    for col in range(n):
+        piv = next(
+            (r for r in range(rank, n) if m[r][col] % F.P), None
+        )
+        if piv is None:
+            continue
+        m[rank], m[piv] = m[piv], m[rank]
+        inv = pow(m[rank][col], F.P - 2, F.P)
+        m[rank] = [(v * inv) % F.P for v in m[rank]]
+        for r in range(n):
+            if r != rank and m[r][col]:
+                f = m[r][col]
+                m[r] = [
+                    (a - f * b) % F.P for a, b in zip(m[r], m[rank])
+                ]
+        rank += 1
+    assert rank == n
+
+
+def test_karatsuba_circulant_matches_dense():
+    import numpy as np
+
+    from plonky3_tpu.fields import KoalaBear as F
+    from plonky3_tpu.hashes.mds import (
+        CirculantMds,
+        karatsuba_circulant_mul,
+    )
+
+    rng = np.random.default_rng(1)
+    for w in (8, 12, 16, 24, 32):
+        first_row = tuple(
+            int(v) for v in rng.integers(1, F.P, w, dtype=np.uint64)
+        )
+        mds = CirculantMds(F=F, first_row=first_row)
+        states = rng.integers(0, F.P, (3, w), dtype=np.uint64)
+        want = mds.permute_np(states)
+        # first COLUMN of M[i][j] = first_row[(j-i) % w] is
+        # c[k] = first_row[(-k) % w]
+        first_col = [first_row[(-k) % w] for k in range(w)]
+        got = karatsuba_circulant_mul(F, first_col, states)
+        assert (got == want).all(), w
