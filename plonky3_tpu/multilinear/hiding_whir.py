@@ -102,6 +102,9 @@ class HidingWhirPcs(WhirPcs):
 
     def commit_hiding(self, evals_std: np.ndarray, rng,
                       t: int = None):
+        from ..utils.bits import bitrev_permute_axis0
+        from .zk_codes import ReedSolomonZkEncoding
+
         F, cfg = self.F, self.config
         n = log2_strict(evals_std.shape[0])
         if t is None:
@@ -112,14 +115,20 @@ class HidingWhirPcs(WhirPcs):
             )
         assert t <= (1 << n), "randomness budget exceeds the spare cube"
         coeffs_g = evals_to_coeffs_np(F, evals_std)
+        # the zk-codes component defines the randomized layout
+        # [msg || r_t || 0] and its codeword (zk_codes.py)
+        enc = ReedSolomonZkEncoding(
+            F=F, t=t, msg_len=1 << n,
+            log_m=n + 1 + cfg.log_blowup, shift_std=F.GENERATOR,
+        )
+        r = enc.sample_randomness(rng)
         zk = np.zeros(1 << (n + 1), np.uint32)
         zk[: 1 << n] = coeffs_g
-        zk[1 << n : (1 << n) + t] = F.rand_np(rng, (t,), monty=False)
-        codeword = coset_evals_from_coeffs(
-            F,
-            jnp.asarray(F.to_monty_np(zk.reshape(-1, 1))),
-            cfg.log_blowup,
-            F.GENERATOR,
+        zk[(1 << n) : (1 << n) + t] = r
+        cw_nat = enc.encode_with_randomness(coeffs_g, r)
+        codeword = bitrev_permute_axis0(
+            jnp.asarray(F.to_monty_np(cw_nat)).reshape(-1, 1),
+            n + 1 + cfg.log_blowup,
         )
         leaves = codeword.reshape(-1, 1 << cfg.folding_factor)
         tree = self.mmcs.commit([leaves])
