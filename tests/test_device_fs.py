@@ -1,0 +1,97 @@
+"""Device Fiat-Shamir lockstep: DeviceSerializingChallenger32 must
+reproduce the host SerializingChallenger32 byte-for-byte on the same
+observe/sample script, and the fast prover must produce a proof
+identical to the host-transcript prover's."""
+
+import numpy as np
+import pytest
+
+from plonky3_tpu.challenger.device_serializing import (
+    DeviceSerializingChallenger32,
+    _grind_indices_jit,
+)
+from plonky3_tpu.challenger.serializing import SerializingChallenger32
+from plonky3_tpu.fields import KoalaBearExt4 as E
+from plonky3_tpu.fields.params import KoalaBear as F
+
+
+def test_sample_fields_lockstep():
+    host = SerializingChallenger32(F)
+    dev = DeviceSerializingChallenger32(F)
+    rng = np.random.default_rng(7)
+
+    # phase 1: scalar observes + digest, then an ext sample
+    ints = [17, 17, 0]
+    digest = tuple(int(x) for x in rng.integers(0, 2**32, 8))
+    host.observe_many(ints)
+    host.observe_digest(digest)
+    dev.observe_host_ints(ints)
+    dev.observe_words(np.asarray(digest, np.uint32))
+    alpha_h = host.sample_ext(4)
+    alpha_d = F.from_monty_np(np.asarray(dev.sample_fields_m(4)))
+    assert alpha_h == tuple(int(x) for x in alpha_d)
+
+    # phase 2: a large monty-array observe (the ys pattern), then samples
+    ys = rng.integers(0, F.P, 1200, dtype=np.uint64).astype(np.uint32)
+    host.observe_base_array(ys)
+    dev.observe_words(F.to_monty_np(ys))
+    z_h = host.sample_ext(4)
+    z_d = F.from_monty_np(np.asarray(dev.sample_fields_m(4)))
+    assert z_h == tuple(int(x) for x in z_d)
+
+    # phase 3: observe, then raw bit samples
+    host.observe(5)
+    dev.observe_host_ints([5])
+    bits_h = [host.sample_bits(18) for _ in range(25)]
+    bits_d = [int(x) for x in np.asarray(dev.sample_bits_array(18, 25))]
+    assert bits_h == bits_d
+
+    assert all(bool(f) for f in dev.flags)
+
+
+def test_many_single_samples_lockstep():
+    """Rejection-resampling across flush boundaries: 40 single samples
+    back-to-back walk the digest chain exactly like the host."""
+    host = SerializingChallenger32(F)
+    dev = DeviceSerializingChallenger32(F)
+    host.observe(123)
+    dev.observe_host_ints([123])
+    h = [host.sample() for _ in range(40)]
+    d = [int(x) for x in F.from_monty_np(np.asarray(dev.sample_fields_m(40)))]
+    assert h == d
+
+
+@pytest.mark.parametrize("pow_bits", [6, 11])
+def test_grind_and_indices_lockstep(pow_bits):
+    host = SerializingChallenger32(F)
+    dev = DeviceSerializingChallenger32(F)
+    seed = [9, 9, 3]
+    host.observe_many(seed)
+    dev.observe_host_ints(seed)
+    # align the pre-grind state via one sample each
+    host.sample_ext(4)
+    dev.sample_fields_m(4)
+    coeffs = [4, 8, 15, 16]
+    host.observe_many(coeffs)
+    dev.observe_host_ints(coeffs)
+
+    w_h = host.grind(pow_bits)
+    idx_h = [host.sample_bits(18) for _ in range(30)]
+
+    import jax.numpy as jnp
+
+    inp = dev._input_words()
+    w_d, idx_d, state, pow_ok = _grind_indices_jit(
+        F, inp, pow_bits, 30, 18, batch=1 << 12
+    )
+    dev.digest, dev.pending = state, []
+    assert bool(pow_ok)
+    assert int(w_d) == w_h
+    assert [int(x) for x in np.asarray(idx_d)] == idx_h
+
+    # states remain aligned afterwards
+    host.observe(1)
+    dev.observe_host_ints([1])
+    assert host.sample_ext(4) == tuple(
+        int(x) for x in F.from_monty_np(np.asarray(dev.sample_fields_m(4)))
+    )
