@@ -41,7 +41,7 @@ def main():
         keccak_stark_config,
         poseidon2_stark_config,
     )
-    from plonky3_tpu.stark.prover import prove
+    from plonky3_tpu.stark.fast_prover import prove_fast as prove
     from plonky3_tpu.stark.verifier import verify
 
     log_n = int(os.environ.get("BENCH_LOG_N", "17"))

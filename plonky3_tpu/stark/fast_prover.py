@@ -1,0 +1,473 @@
+"""Single-pull uni-stark prover: device Fiat-Shamir, one final transfer.
+
+Functionally identical to `prover.py` (same Proof, byte-for-byte), but
+the transcript runs on device (`challenger/device_serializing.py`), so
+the six critical-path device->host pulls of the host-transcript path —
+trace root, quotient root, ys, FRI round root, FRI tail codeword, query
+batch — collapse into ONE batched pull at the very end. Through the axon
+tunnel each pull costs ~29 ms of latency; this is the structural gap
+between the round-2 prover (~1.3 M perms/s) and its own speed-of-light.
+
+Shape of the program:
+  commit trace -> observe root ON DEVICE -> alpha ON DEVICE ->
+  quotient eval/commit -> zeta ON DEVICE -> ys (MXU coefficient dots),
+  observed ON DEVICE -> reduced accumulation -> EVERY FRI round on
+  device (roots observed, betas sampled, folds applied, no host tail) ->
+  final poly -> device PoW grind + query indices -> query gathers
+  registered against the still-device indices -> ONE pull of roots, ys,
+  final poly, witness, indices, rows, and per-level sibling digests ->
+  host assembles the identical pruned-multiproof Proof.
+
+The pruned Merkle proofs are reconstructed on the host from NON-pruned
+per-level sibling gathers (every (index >> lvl) ^ 1 digest): the pruned
+frontier is a subset of those nodes, and the frontier walk needs the
+concrete index values, which only exist after the pull. The ~60 KB of
+redundant digests cost ~2 ms of transfer — a pull of the indices alone
+would cost 29.
+
+Applicability: TwoAdicFriPcs + u32-word keccak Merkle/transcript
+(`keccak_stark_config`), cap_height 0, commit_proof_of_work_bits 0, no
+ZK. `prove_fast` falls back to the host-transcript `prove` otherwise —
+and re-proves on it in the (cryptographically negligible, device-flagged)
+event a sampling supply ran short.
+
+Reference spec: uni-stark/src/prover.rs:379, fri/src/prover.rs:43,
+merkle-tree/src/pruning.rs (wire order of the pruned multiproof).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..air.api import (
+    get_log_num_quotient_chunks,
+    get_symbolic_layout,
+)
+from ..challenger.device_serializing import DeviceSerializingChallenger32
+from ..fri.config import compute_log_arity_for_round
+from ..fri.proof import BatchMultiOpening, CommitPhaseStep, FriProof
+from ..fri.prover import TwoAdicFriFolding, _fold_step_jit
+from ..fri.two_adic_pcs import (
+    TwoAdicFriPcs,
+    _accum_kernel,
+    _eval_coeffs,
+    _ext_powers_device,
+    _inv_denom_kernel,
+    _mred,
+)
+from ..merkle.mmcs import MerkleProverData, _build_layers_jit
+from ..ops.ntt import coset_lde_batch, idft, powers_device
+from ..utils.bits import bitrev_permute_axis0, log2_strict
+from ..utils.transfer import pull_all
+from .proof import Commitments, OpenedValues, Proof
+from .prover import prove, quotient_values
+
+
+class _Unsupported(Exception):
+    """Config outside the fast path; caller falls back to prove()."""
+
+
+def _mmcs_commit_lazy(mmcs, mats):
+    """mmcs.commit without the root pull (root stays a device (8,) word
+    array at layers[-1][0]; root_std is filled in after the final pull)."""
+    for m in mats:
+        log2_strict(m.shape[0])
+    if getattr(mmcs.sponge, "host_only", False):
+        raise _Unsupported("host-only sponge")
+    log_max = log2_strict(max(m.shape[0] for m in mats))
+    if mmcs._eff_cap(log_max) != 0:
+        raise _Unsupported("Merkle caps not wired into the fast path")
+    layers = _build_layers_jit(mmcs, mats)
+    return MerkleProverData(
+        matrices=list(mats), layers=layers, root_std=None,
+        digest_is_field=getattr(mmcs.sponge, "digest_is_field", True),
+        cap_std=None,
+    )
+
+
+def _pcs_commit_lazy(pcs, evaluations):
+    """pcs.commit with a lazy root (same LDEs, same retained coeffs)."""
+    F = pcs.F
+    ldes, domains, coeffs = [], [], []
+    for domain, evals in evaluations:
+        assert evals.shape[0] == domain.size
+        shift = F.mul_h(F.GENERATOR, F.inv_h(domain.shift))
+        lde, cf = coset_lde_batch(
+            F, evals, pcs.fri.log_blowup, shift, with_coeffs=True
+        )
+        ldes.append(lde)
+        coeffs.append(cf)
+        domains.append(domain)
+    data = _mmcs_commit_lazy(pcs.mmcs, ldes)
+    data.domains = domains
+    data.coeffs = coeffs
+    return data
+
+
+def _pruned_wire(indices, levels: int, sib_levels):
+    """Pruned-multiproof sibling list (pruning.rs wire order: level 0
+    first; within a level ascending node order) selected from non-pruned
+    per-level gathers sib_levels[lvl] (Q, dw) at nodes (idx >> lvl) ^ 1."""
+    frontier = sorted(set(indices))
+    want = []
+    for lvl in range(levels):
+        present = set(frontier)
+        for node in frontier:
+            if node ^ 1 not in present:
+                want.append((lvl, node ^ 1))
+        frontier = sorted({n >> 1 for n in frontier})
+    pm = {}
+    for lvl in range(levels):
+        arr = sib_levels[lvl]
+        for q, idx in enumerate(indices):
+            pm[(lvl, (idx >> lvl) ^ 1)] = tuple(int(x) for x in arr[q])
+    return [pm[k] for k in want]
+
+
+def _tree_gathers(data, tree_idx):
+    """Device gathers opening a tree at device indices: every matrix row
+    (index >> height shift) + every level's sibling digest."""
+    log_max = log2_strict(data.layers[0].shape[0])
+    out = []
+    for m in data.matrices:
+        shift = log_max - log2_strict(m.shape[0])
+        out.append(m[(tree_idx >> shift).astype(jnp.int32)])
+    for lvl in range(log_max):
+        out.append(
+            data.layers[lvl][((tree_idx >> lvl) ^ 1).astype(jnp.int32)]
+        )
+    return out
+
+
+def prove_fast(config, air, trace, public_values, spans=None) -> Proof:
+    """prove() with the device transcript where the config allows it."""
+    try:
+        return _prove_device_fs(config, air, trace, public_values, spans)
+    except _Unsupported:
+        return prove(config, air, trace, public_values, spans=spans)
+
+
+def _prove_device_fs(config, air, trace, public_values, spans=None):
+    import time as _time
+
+    _t = {"last": _time.perf_counter()}
+
+    def _mark(name):
+        if spans is not None:
+            now = _time.perf_counter()
+            spans[name] = spans.get(name, 0.0) + now - _t["last"]
+            _t["last"] = now
+
+    F, E, pcs = config.F, config.E, config.pcs
+    if config.challenger_kind != "keccak" or config.challenger_factory:
+        raise _Unsupported("device transcript models the keccak config")
+    if not isinstance(pcs, TwoAdicFriPcs) or getattr(pcs, "ZK", False):
+        raise _Unsupported("fast path covers the non-ZK TwoAdicFriPcs")
+    params = pcs.fri
+    if params.commit_proof_of_work_bits != 0:
+        raise _Unsupported("per-round commit PoW not on the device path")
+    if params.query_proof_of_work_bits == 0:
+        raise _Unsupported("grind(0) path not wired; use prove()")
+
+    n = trace.shape[0]
+    log_n = log2_strict(n)
+    log_num_chunks = get_log_num_quotient_chunks(air)
+    num_chunks = 1 << log_num_chunks
+
+    # ---- commit trace (root stays on device) ----
+    trace_domain = pcs.natural_domain_for_degree(n)
+    trace_data = _pcs_commit_lazy(pcs, [(trace_domain, trace)])
+    if trace_data.digest_is_field:
+        raise _Unsupported("field-digest Merkle pairs with the duplex FS")
+
+    ch = DeviceSerializingChallenger32(F)
+    ch.observe_host_ints([log_n, log_n, 0])
+    trace_root_dev = trace_data.layers[-1][0]
+    ch.observe_words(trace_root_dev)
+    ch.observe_host_ints([int(v) for v in public_values])
+
+    alpha_m = ch.sample_fields_m(E.D)  # (D,) monty device
+    _mark("commit trace")
+
+    # ---- quotient ----
+    quotient_domain = trace_domain.create_disjoint_domain(
+        1 << (log_n + log_num_chunks)
+    )
+    uses_next = air.main_next_row_columns() != []
+    q_order = "bitrev" if not uses_next else "natural"
+    trace_on_qd = pcs.get_evaluations_on_domain(
+        trace_data, 0, quotient_domain, order=q_order
+    )
+    num_constraints, _ = get_symbolic_layout(air)
+    ap_log = max(1, (num_constraints - 1).bit_length())
+    alpha_pows = _ext_powers_device(E, alpha_m, ap_log)[
+        :num_constraints
+    ][::-1]
+    publics_m = jnp.asarray(
+        F.to_monty_np(np.asarray(public_values, dtype=np.uint32))
+    ) if public_values else jnp.zeros((0,), jnp.uint32)
+    q_vals = quotient_values(
+        config, air, trace_domain, quotient_domain, trace_on_qd,
+        publics_m, alpha_pows, rows_order=q_order,
+    )
+    if q_order == "bitrev":
+        q_vals = bitrev_permute_axis0(q_vals, quotient_domain.log_n)
+    q_flat = q_vals.reshape(quotient_domain.size, E.D)
+    sub_evals = quotient_domain.split_evals(num_chunks, q_flat)
+    sub_domains = quotient_domain.split_domains(num_chunks)
+    quotient_data = _pcs_commit_lazy(pcs, list(zip(sub_domains, sub_evals)))
+    quotient_root_dev = quotient_data.layers[-1][0]
+    ch.observe_words(quotient_root_dev)
+
+    zeta_m = ch.sample_fields_m(E.D)
+    gen_m = jnp.uint32(F.to_monty_h(trace_domain.gen))
+    zeta_next_m = F.mul(zeta_m, gen_m)  # coordinate-wise base mul
+    _mark("quotient eval")
+
+    # ---- open: ys via MXU coefficient dots, observed on device ----
+    trace_points = [zeta_m, zeta_next_m] if uses_next else [zeta_m]
+    data_with_points = [
+        (trace_data, [trace_points]),
+        (quotient_data, [[zeta_m]] * num_chunks),
+    ]
+    lb = params.log_blowup
+    all_heights = [
+        m.shape[0]
+        for data, _ in data_with_points
+        for m in data.matrices
+    ]
+    log_global_max_height = max(log2_strict(h) for h in all_heights)
+
+    max_h_for_point = {}  # id(z) -> (z_m, max h)
+    for data, points in data_with_points:
+        for mat, pts in zip(data.matrices, points):
+            for z in pts:
+                prev = max_h_for_point.get(id(z), (z, 0))[1]
+                max_h_for_point[id(z)] = (z, max(prev, mat.shape[0]))
+
+    g_inv_m = jnp.uint32(F.to_monty_h(F.inv_h(F.GENERATOR)))
+    zpows = {
+        zid: _ext_powers_device(
+            E, F.mul(z, g_inv_m), log2_strict(h) - lb
+        )
+        for zid, (z, h) in max_h_for_point.items()
+    }
+    ys_devs = []  # flat, transcript order
+    for data, points in data_with_points:
+        for cf, pts in zip(data.coeffs, points):
+            for z in pts:
+                ys_devs.append(_eval_coeffs(E, cf, zpows[id(z)]))
+    for ys in ys_devs:
+        ch.observe_words(ys)  # row-major (w, D) == per-element observe
+
+    alpha2_m = ch.sample_fields_m(E.D)
+    _mark("open: ys dispatch")
+
+    xs_br = bitrev_permute_axis0(
+        powers_device(
+            F, F.two_adic_generator_h(log_global_max_height),
+            1 << log_global_max_height, scale_std=F.GENERATOR,
+        ),
+        log_global_max_height,
+    )
+    inv_denoms = {
+        zid: _inv_denom_kernel(E, z, xs_br[:h])
+        for zid, (z, h) in max_h_for_point.items()
+    }
+
+    total_w = sum(
+        m.shape[1] * len(pts)
+        for data, points in data_with_points
+        for m, pts in zip(data.matrices, points)
+    )
+    a2_log = max(1, (total_w - 1).bit_length())
+    a2_pows = _ext_powers_device(E, alpha2_m, a2_log)  # ascending
+
+    reduced, num_reduced = {}, {}
+    ys_iter = iter(ys_devs)
+    for data, points in data_with_points:
+        for mat, pts in zip(data.matrices, points):
+            h, w = mat.shape
+            log_h = log2_strict(h)
+            mat_compressed = _mred(E, mat, a2_pows[:w])
+            for z in pts:
+                ys_dev = next(ys_iter)
+                acc = reduced.setdefault(
+                    log_h, jnp.zeros((h, E.D), jnp.uint32)
+                )
+                nr = num_reduced.get(log_h, 0)
+                prods = E.mul(a2_pows[:w], ys_dev)  # (w, D)
+                mred_z = F.sum(prods, axis=0)  # (D,)
+                reduced[log_h] = _accum_kernel(
+                    E, acc, mred_z, mat_compressed,
+                    inv_denoms[id(z)][:h], a2_pows[nr],
+                )
+                num_reduced[log_h] = nr + w
+    fri_input = [reduced[lh] for lh in sorted(reduced, reverse=True)]
+    _mark("open: reduced accumulation")
+
+    # ---- FRI commit phase: every round on device ----
+    folding = TwoAdicFriFolding(E)
+    fri_mmcs_inner = pcs.fri_mmcs.inner
+    folded = fri_input[0]
+    rest = list(fri_input[1:])
+    log_final_height = params.log_blowup + params.log_final_poly_len
+    datas, log_arities = [], []
+    while folded.shape[0] > params.blowup * params.final_poly_len:
+        log_h = log2_strict(folded.shape[0])
+        next_log_h = log2_strict(rest[0].shape[0]) if rest else None
+        log_arity = compute_log_arity_for_round(
+            log_h, next_log_h, log_final_height, params.max_log_arity
+        )
+        arity = 1 << log_arity
+        log_arities.append(log_arity)
+        data = _mmcs_commit_lazy(
+            fri_mmcs_inner, [folded.reshape(-1, arity * E.D)]
+        )
+        ch.observe_words(data.layers[-1][0])
+        datas.append(data)
+        beta_m = ch.sample_fields_m(E.D)
+
+        b = beta_m
+        for _ in range(log_arity):
+            folded = _fold_step_jit(E, folded, b)
+            b = E.mul(b, b)
+        if rest and rest[0].shape[0] == folded.shape[0]:
+            folded = F.add(folded, E.mul(rest.pop(0), b))
+    _mark("fri: commit phase")
+
+    # ---- final polynomial ----
+    L = params.final_poly_len
+    final_evals = folded[:L]
+    if L > 1:
+        final_coeffs = idft(
+            F, bitrev_permute_axis0(final_evals, log2_strict(L))
+        )
+    else:
+        final_coeffs = final_evals
+    ch.observe_words(final_coeffs)
+    ch.observe_host_ints(log_arities)  # arity schedule (prover.rs:103)
+
+    # ---- device grind + query indices + gathers ----
+    witness_dev, idx_dev = ch.grind_and_sample_indices(
+        params.query_proof_of_work_bits,
+        params.num_queries,
+        log_global_max_height,  # extra_query_index_bits == 0 (two-adic)
+    )
+    gathers = []
+    input_tree_meta = []  # (log_batch_max, n_mats)
+    for data, _ in data_with_points:
+        log_batch_max = log2_strict(data.layers[0].shape[0])
+        tree_idx = idx_dev >> (log_global_max_height - log_batch_max)
+        gathers.extend(_tree_gathers(data, tree_idx))
+        input_tree_meta.append((log_batch_max, len(data.matrices)))
+    ridx = idx_dev
+    for log_arity, data in zip(log_arities, datas):
+        ridx = ridx >> log_arity
+        gathers.extend(_tree_gathers(data, ridx))
+    _mark("fri: grind+indices")
+
+    # ---- the single pull ----
+    flags = jnp.stack(ch.flags).astype(jnp.uint32)
+    fri_roots = [d.layers[-1][0] for d in datas]
+    pulled = pull_all(
+        [flags, trace_root_dev, quotient_root_dev, *fri_roots,
+         *ys_devs, final_coeffs, witness_dev.reshape(1), idx_dev,
+         *gathers]
+    )
+    _mark("fri: query openings (single pull)")
+    it = iter(pulled)
+    flags_np = next(it)
+    if not flags_np.all():
+        # a sampling supply ran short or the PoW replay failed — valid
+        # proofs are impossible from this transcript; redo on host FS
+        raise _Unsupported("device transcript flag tripped")
+    trace_root = tuple(int(x) for x in next(it))
+    quotient_root = tuple(int(x) for x in next(it))
+    fri_commits = [tuple(int(x) for x in next(it)) for _ in datas]
+    ys_np = [F.from_monty_np(next(it)) for _ in ys_devs]
+    final_np = F.from_monty_np(next(it))
+    final_poly = [tuple(int(c) for c in row) for row in final_np]
+    witness = int(next(it)[0])
+    indices = [int(x) for x in next(it)]
+
+    # opened values in round/matrix/point structure
+    opened_values = []
+    ys_it = iter(ys_np)
+    for data, points in data_with_points:
+        round_vals = []
+        for _, pts in zip(data.matrices, points):
+            round_vals.append(
+                [[tuple(r) for r in next(ys_it).tolist()] for _ in pts]
+            )
+        opened_values.append(round_vals)
+
+    # input-tree openings (pruned proofs from the per-level gathers)
+    input_openings = []
+    for log_batch_max, n_mats in input_tree_meta:
+        tree_indices = [
+            i >> (log_global_max_height - log_batch_max) for i in indices
+        ]
+        mat_lists = [
+            F.from_monty_np(next(it)).reshape(len(indices), -1).tolist()
+            for _ in range(n_mats)
+        ]
+        sib_levels = [next(it) for _ in range(log_batch_max)]
+        rows_pq = [
+            [mat_lists[k][q] for k in range(n_mats)]
+            for q in range(len(indices))
+        ]
+        input_openings.append(BatchMultiOpening(
+            opened_values=rows_pq,
+            opening_proof=_pruned_wire(
+                tree_indices, log_batch_max, sib_levels
+            ),
+        ))
+
+    # FRI round openings
+    commit_phase_steps = []
+    qidx = list(indices)
+    for log_arity, data in zip(log_arities, datas):
+        arity = 1 << log_arity
+        row_indices = [i >> log_arity for i in qidx]
+        levels = log2_strict(data.layers[0].shape[0])
+        rows = F.from_monty_np(next(it)).reshape(
+            len(indices), arity, E.D
+        ).tolist()
+        sib_levels = [next(it) for _ in range(levels)]
+        sibs = []
+        for idx, grp in zip(qidx, rows):
+            pos = idx % arity
+            sibs.append(
+                [tuple(g) for j, g in enumerate(grp) if j != pos]
+            )
+        commit_phase_steps.append(CommitPhaseStep(
+            log_arity=log_arity,
+            sibling_values=sibs,
+            opening_proof=_pruned_wire(row_indices, levels, sib_levels),
+        ))
+        qidx = row_indices
+
+    fri_proof = FriProof(
+        commit_phase_commits=fri_commits,
+        commit_pow_witnesses=[0] * len(datas),
+        input_openings=input_openings,
+        commit_phase_steps=commit_phase_steps,
+        final_poly=final_poly,
+        query_pow_witness=witness,
+    )
+    _mark("proof assembly")
+    return Proof(
+        commitments=Commitments(
+            trace=trace_root, quotient_chunks=quotient_root
+        ),
+        opened_values=OpenedValues(
+            trace_local=opened_values[0][0][0],
+            trace_next=opened_values[0][0][1] if uses_next else None,
+            quotient_chunks=[opened_values[1][i][0]
+                             for i in range(num_chunks)],
+        ),
+        opening_proof=fri_proof,
+        degree_bits=log_n,
+    )

@@ -95,3 +95,36 @@ def test_grind_and_indices_lockstep(pow_bits):
     assert host.sample_ext(4) == tuple(
         int(x) for x in F.from_monty_np(np.asarray(dev.sample_fields_m(4)))
     )
+
+
+@pytest.mark.parametrize("log_n", [6])
+def test_prove_fast_byte_identity(log_n):
+    """prove_fast (device transcript, single pull) must produce the
+    IDENTICAL Proof object to the host-transcript prove()."""
+    import jax.numpy as jnp
+
+    from plonky3_tpu.fri.config import FriParameters
+    from plonky3_tpu.models.poseidon2_air import (
+        Poseidon2VectorAir,
+        generate_vectorized_trace,
+    )
+    from plonky3_tpu.stark.config import keccak_stark_config
+    from plonky3_tpu.stark.fast_prover import _prove_device_fs
+    from plonky3_tpu.stark.prover import prove
+    from plonky3_tpu.stark.verifier import verify
+
+    params = FriParameters(
+        log_blowup=1, log_final_poly_len=0, max_log_arity=3,
+        num_queries=10, commit_proof_of_work_bits=0,
+        query_proof_of_work_bits=8,
+    )
+    config = keccak_stark_config(F, E, params)
+    air = Poseidon2VectorAir(F, 16, vector_len=1)
+    rng = np.random.default_rng(3)
+    inputs = jnp.asarray(F.rand_np(rng, (1 << log_n, 16)))
+    trace, _ = generate_vectorized_trace(air, inputs)
+
+    p_host = prove(config, air, trace, [])
+    p_dev = _prove_device_fs(config, air, trace, [])
+    assert p_dev == p_host
+    verify(config, air, p_dev, [])
