@@ -11,7 +11,10 @@ measure warm runs). The proof from run 1 is verified before reporting.
 `vs_baseline` is null — the reference publishes no absolute numbers
 (BASELINE.md "Published numbers").
 
-Env knobs: BENCH_LOG_N (default 17), BENCH_MERKLE (keccak-f | poseidon2).
+Env knobs: BENCH_LOG_N (default 17), BENCH_MERKLE (keccak-f | poseidon2),
+BENCH_PROVER (fast | host — default fast, the single-dispatch device-FS
+prover, measured 1.47M perms/s vs host's 1.0M on 2026-08-18; `host`
+selects the round-2 host-transcript path).
 """
 
 from __future__ import annotations
@@ -41,8 +44,12 @@ def main():
         keccak_stark_config,
         poseidon2_stark_config,
     )
-    from plonky3_tpu.stark.fast_prover import prove_fast as prove
     from plonky3_tpu.stark.verifier import verify
+
+    if os.environ.get("BENCH_PROVER", "fast") == "host":
+        from plonky3_tpu.stark.prover import prove
+    else:
+        from plonky3_tpu.stark.fast_prover import prove_fast as prove
 
     log_n = int(os.environ.get("BENCH_LOG_N", "17"))
     merkle = os.environ.get("BENCH_MERKLE", "keccak-f")

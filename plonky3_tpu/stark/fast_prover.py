@@ -1,22 +1,33 @@
-"""Single-pull uni-stark prover: device Fiat-Shamir, one final transfer.
+"""Single-dispatch uni-stark prover: device Fiat-Shamir, one program,
+one final transfer.
 
 Functionally identical to `prover.py` (same Proof, byte-for-byte), but
-the transcript runs on device (`challenger/device_serializing.py`), so
-the six critical-path device->host pulls of the host-transcript path —
-trace root, quotient root, ys, FRI round root, FRI tail codeword, query
-batch — collapse into ONE batched pull at the very end. Through the axon
-tunnel each pull costs ~29 ms of latency; this is the structural gap
-between the round-2 prover (~1.3 M perms/s) and its own speed-of-light.
+the ENTIRE device side — trace commit, transcript observes/samples
+(`challenger/device_serializing.py`), quotient evaluation, FRI commit
+phase, PoW grind, query-index sampling, and every Merkle/row gather —
+traces into ONE `jax.jit` program that returns ONE flat u32 buffer.
+Steady state is therefore one host->device dispatch plus one
+device->host pull. Through the axon tunnel every dispatch/pull costs
+~1-30 ms of latency; the round-3 version of this prover ran the same
+math as ~300 eagerly-dispatched programs and spent 5.7 s in latency
+(131k perms/s vs the host-transcript prover's 1.38M). Fusing to one
+program also lets XLA do global buffer liveness instead of keeping
+every eager intermediate alive.
 
-Shape of the program:
-  commit trace -> observe root ON DEVICE -> alpha ON DEVICE ->
-  quotient eval/commit -> zeta ON DEVICE -> ys (MXU coefficient dots),
-  observed ON DEVICE -> reduced accumulation -> EVERY FRI round on
-  device (roots observed, betas sampled, folds applied, no host tail) ->
+Shape of the program (all inside one trace):
+  commit trace -> observe root -> alpha -> quotient eval/commit ->
+  zeta -> ys (MXU coefficient dots), observed -> reduced accumulation ->
+  every FRI round (roots observed, betas sampled, folds applied) ->
   final poly -> device PoW grind + query indices -> query gathers
-  registered against the still-device indices -> ONE pull of roots, ys,
-  final poly, witness, indices, rows, and per-level sibling digests ->
-  host assembles the identical pruned-multiproof Proof.
+  against the still-device indices -> ONE flat concatenation of flags,
+  roots, ys, final poly, witness, indices, rows and per-level sibling
+  digests. The host unpacks that one buffer and assembles the identical
+  pruned-multiproof Proof.
+
+The jitted program is cached per (config, air, trace shape, #publics);
+static structure discovered during tracing (FRI arity schedule, tree
+shapes, output layout) is recorded in a side dict at trace time and
+reused for host assembly on every later call.
 
 The pruned Merkle proofs are reconstructed on the host from NON-pruned
 per-level sibling gathers (every (index >> lvl) ^ 1 digest): the pruned
@@ -37,6 +48,7 @@ merkle-tree/src/pruning.rs (wire order of the pruned multiproof).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -47,7 +59,7 @@ from ..air.api import (
 from ..challenger.device_serializing import DeviceSerializingChallenger32
 from ..fri.config import compute_log_arity_for_round
 from ..fri.proof import BatchMultiOpening, CommitPhaseStep, FriProof
-from ..fri.prover import TwoAdicFriFolding, _fold_step_jit
+from ..fri.prover import _fold_step_jit
 from ..fri.two_adic_pcs import (
     TwoAdicFriPcs,
     _accum_kernel,
@@ -56,10 +68,9 @@ from ..fri.two_adic_pcs import (
     _inv_denom_kernel,
     _mred,
 )
-from ..merkle.mmcs import MerkleProverData, _build_layers_jit
+from ..merkle.mmcs import MerkleProverData, _build_layers
 from ..ops.ntt import coset_lde_batch, idft, powers_device
 from ..utils.bits import bitrev_permute_axis0, log2_strict
-from ..utils.transfer import pull_all
 from .proof import Commitments, OpenedValues, Proof
 from .prover import prove, quotient_values
 
@@ -78,7 +89,7 @@ def _mmcs_commit_lazy(mmcs, mats):
     log_max = log2_strict(max(m.shape[0] for m in mats))
     if mmcs._eff_cap(log_max) != 0:
         raise _Unsupported("Merkle caps not wired into the fast path")
-    layers = _build_layers_jit(mmcs, mats)
+    layers = _build_layers(mmcs, mats)  # traced into the outer program
     return MerkleProverData(
         matrices=list(mats), layers=layers, root_std=None,
         digest_is_field=getattr(mmcs.sponge, "digest_is_field", True),
@@ -140,6 +151,12 @@ def _tree_gathers(data, tree_idx):
     return out
 
 
+# (config, air, trace shape, #publics) -> (jitted program, meta dict).
+# meta is filled during the first trace (static structure: arity
+# schedule, tree metadata, output layout) and reused for host assembly.
+_PROGRAM_CACHE: dict = {}
+
+
 def prove_fast(config, air, trace, public_values, spans=None) -> Proof:
     """prove() with the device transcript where the config allows it."""
     try:
@@ -148,34 +165,18 @@ def prove_fast(config, air, trace, public_values, spans=None) -> Proof:
         return prove(config, air, trace, public_values, spans=spans)
 
 
-def _prove_device_fs(config, air, trace, public_values, spans=None):
-    import time as _time
+def _device_body(config, air, trace, publics_m, meta):
+    """The whole device side of the proof as one traceable function.
 
-    _t = {"last": _time.perf_counter()}
-
-    def _mark(name):
-        if spans is not None:
-            now = _time.perf_counter()
-            spans[name] = spans.get(name, 0.0) + now - _t["last"]
-            _t["last"] = now
-
+    Returns one flat u32 vector; records static structure in `meta`."""
     F, E, pcs = config.F, config.E, config.pcs
-    if config.challenger_kind != "keccak" or config.challenger_factory:
-        raise _Unsupported("device transcript models the keccak config")
-    if not isinstance(pcs, TwoAdicFriPcs) or getattr(pcs, "ZK", False):
-        raise _Unsupported("fast path covers the non-ZK TwoAdicFriPcs")
     params = pcs.fri
-    if params.commit_proof_of_work_bits != 0:
-        raise _Unsupported("per-round commit PoW not on the device path")
-    if params.query_proof_of_work_bits == 0:
-        raise _Unsupported("grind(0) path not wired; use prove()")
-
     n = trace.shape[0]
     log_n = log2_strict(n)
     log_num_chunks = get_log_num_quotient_chunks(air)
     num_chunks = 1 << log_num_chunks
 
-    # ---- commit trace (root stays on device) ----
+    # ---- commit trace ----
     trace_domain = pcs.natural_domain_for_degree(n)
     trace_data = _pcs_commit_lazy(pcs, [(trace_domain, trace)])
     if trace_data.digest_is_field:
@@ -185,10 +186,9 @@ def _prove_device_fs(config, air, trace, public_values, spans=None):
     ch.observe_host_ints([log_n, log_n, 0])
     trace_root_dev = trace_data.layers[-1][0]
     ch.observe_words(trace_root_dev)
-    ch.observe_host_ints([int(v) for v in public_values])
+    ch.observe_words(publics_m)  # already Monty-form, same wire words
 
     alpha_m = ch.sample_fields_m(E.D)  # (D,) monty device
-    _mark("commit trace")
 
     # ---- quotient ----
     quotient_domain = trace_domain.create_disjoint_domain(
@@ -204,9 +204,6 @@ def _prove_device_fs(config, air, trace, public_values, spans=None):
     alpha_pows = _ext_powers_device(E, alpha_m, ap_log)[
         :num_constraints
     ][::-1]
-    publics_m = jnp.asarray(
-        F.to_monty_np(np.asarray(public_values, dtype=np.uint32))
-    ) if public_values else jnp.zeros((0,), jnp.uint32)
     q_vals = quotient_values(
         config, air, trace_domain, quotient_domain, trace_on_qd,
         publics_m, alpha_pows, rows_order=q_order,
@@ -223,7 +220,6 @@ def _prove_device_fs(config, air, trace, public_values, spans=None):
     zeta_m = ch.sample_fields_m(E.D)
     gen_m = jnp.uint32(F.to_monty_h(trace_domain.gen))
     zeta_next_m = F.mul(zeta_m, gen_m)  # coordinate-wise base mul
-    _mark("quotient eval")
 
     # ---- open: ys via MXU coefficient dots, observed on device ----
     trace_points = [zeta_m, zeta_next_m] if uses_next else [zeta_m]
@@ -262,7 +258,6 @@ def _prove_device_fs(config, air, trace, public_values, spans=None):
         ch.observe_words(ys)  # row-major (w, D) == per-element observe
 
     alpha2_m = ch.sample_fields_m(E.D)
-    _mark("open: ys dispatch")
 
     xs_br = bitrev_permute_axis0(
         powers_device(
@@ -305,10 +300,8 @@ def _prove_device_fs(config, air, trace, public_values, spans=None):
                 )
                 num_reduced[log_h] = nr + w
     fri_input = [reduced[lh] for lh in sorted(reduced, reverse=True)]
-    _mark("open: reduced accumulation")
 
     # ---- FRI commit phase: every round on device ----
-    folding = TwoAdicFriFolding(E)
     fri_mmcs_inner = pcs.fri_mmcs.inner
     folded = fri_input[0]
     rest = list(fri_input[1:])
@@ -335,7 +328,6 @@ def _prove_device_fs(config, air, trace, public_values, spans=None):
             b = E.mul(b, b)
         if rest and rest[0].shape[0] == folded.shape[0]:
             folded = F.add(folded, E.mul(rest.pop(0), b))
-    _mark("fri: commit phase")
 
     # ---- final polynomial ----
     L = params.final_poly_len
@@ -363,20 +355,89 @@ def _prove_device_fs(config, air, trace, public_values, spans=None):
         gathers.extend(_tree_gathers(data, tree_idx))
         input_tree_meta.append((log_batch_max, len(data.matrices)))
     ridx = idx_dev
+    fri_tree_levels = []
     for log_arity, data in zip(log_arities, datas):
         ridx = ridx >> log_arity
         gathers.extend(_tree_gathers(data, ridx))
-    _mark("fri: grind+indices")
+        fri_tree_levels.append(log2_strict(data.layers[0].shape[0]))
 
-    # ---- the single pull ----
+    # ---- one flat output buffer ----
     flags = jnp.stack(ch.flags).astype(jnp.uint32)
     fri_roots = [d.layers[-1][0] for d in datas]
-    pulled = pull_all(
-        [flags, trace_root_dev, quotient_root_dev, *fri_roots,
-         *ys_devs, final_coeffs, witness_dev.reshape(1), idx_dev,
-         *gathers]
+    outs = [flags, trace_root_dev, quotient_root_dev, *fri_roots,
+            *ys_devs, final_coeffs, witness_dev.reshape(1), idx_dev,
+            *gathers]
+    meta.update(
+        uses_next=uses_next,
+        num_chunks=num_chunks,
+        n_ys=len(ys_devs),
+        log_arities=log_arities,
+        input_tree_meta=input_tree_meta,
+        fri_tree_levels=fri_tree_levels,
+        log_global_max_height=log_global_max_height,
+        log_n=log_n,
+        shapes=[tuple(a.shape) for a in outs],
     )
-    _mark("fri: query openings (single pull)")
+    return jnp.concatenate([a.reshape(-1).astype(jnp.uint32) for a in outs])
+
+
+def _prove_device_fs(config, air, trace, public_values, spans=None):
+    import time as _time
+
+    _t = {"last": _time.perf_counter()}
+
+    def _mark(name):
+        if spans is not None:
+            now = _time.perf_counter()
+            spans[name] = spans.get(name, 0.0) + now - _t["last"]
+            _t["last"] = now
+
+    F, E, pcs = config.F, config.E, config.pcs
+    if config.challenger_kind != "keccak" or config.challenger_factory:
+        raise _Unsupported("device transcript models the keccak config")
+    if not isinstance(pcs, TwoAdicFriPcs) or getattr(pcs, "ZK", False):
+        raise _Unsupported("fast path covers the non-ZK TwoAdicFriPcs")
+    params = pcs.fri
+    if params.commit_proof_of_work_bits != 0:
+        raise _Unsupported("per-round commit PoW not on the device path")
+    if params.query_proof_of_work_bits == 0:
+        raise _Unsupported("grind(0) path not wired; use prove()")
+
+    key = (config, air, trace.shape, len(public_values))
+    entry = _PROGRAM_CACHE.get(key)
+    if entry is None:
+        meta = {}
+        fn = jax.jit(
+            lambda tr, pm: _device_body(config, air, tr, pm, meta)
+        )
+        entry = (fn, meta)
+    fn, meta = entry
+
+    publics_m = jnp.asarray(
+        F.to_monty_np(np.asarray(public_values, dtype=np.uint32))
+    ) if public_values else jnp.zeros((0,), jnp.uint32)
+
+    # one dispatch (raises _Unsupported at trace time if out of scope)
+    flat = fn(trace, publics_m)
+    _PROGRAM_CACHE[key] = entry  # cache only after a successful trace
+    _mark("device program (one dispatch)")
+
+    # ---- the single pull ----
+    flat_np = np.asarray(flat)
+    _mark("single pull")
+    pulled, off = [], 0
+    for shape in meta["shapes"]:
+        cnt = int(np.prod(shape, dtype=np.int64))
+        pulled.append(flat_np[off:off + cnt].reshape(shape))
+        off += cnt
+
+    uses_next = meta["uses_next"]
+    num_chunks = meta["num_chunks"]
+    log_arities = meta["log_arities"]
+    log_global_max_height = meta["log_global_max_height"]
+    n_fri_rounds = len(log_arities)
+    num_queries = params.num_queries
+
     it = iter(pulled)
     flags_np = next(it)
     if not flags_np.all():
@@ -385,38 +446,42 @@ def _prove_device_fs(config, air, trace, public_values, spans=None):
         raise _Unsupported("device transcript flag tripped")
     trace_root = tuple(int(x) for x in next(it))
     quotient_root = tuple(int(x) for x in next(it))
-    fri_commits = [tuple(int(x) for x in next(it)) for _ in datas]
-    ys_np = [F.from_monty_np(next(it)) for _ in ys_devs]
+    fri_commits = [tuple(int(x) for x in next(it))
+                   for _ in range(n_fri_rounds)]
+    ys_np = [F.from_monty_np(next(it)) for _ in range(meta["n_ys"])]
     final_np = F.from_monty_np(next(it))
     final_poly = [tuple(int(c) for c in row) for row in final_np]
     witness = int(next(it)[0])
     indices = [int(x) for x in next(it)]
 
-    # opened values in round/matrix/point structure
+    # opened values in round/matrix/point structure: round 0 is one
+    # matrix (trace) with 1-2 points; round 1 is num_chunks matrices
+    # with one point each
     opened_values = []
     ys_it = iter(ys_np)
-    for data, points in data_with_points:
-        round_vals = []
-        for _, pts in zip(data.matrices, points):
-            round_vals.append(
-                [[tuple(r) for r in next(ys_it).tolist()] for _ in pts]
-            )
-        opened_values.append(round_vals)
+    opened_values.append([
+        [[tuple(r) for r in next(ys_it).tolist()]
+         for _ in range(2 if uses_next else 1)]
+    ])
+    opened_values.append([
+        [[tuple(r) for r in next(ys_it).tolist()]]
+        for _ in range(num_chunks)
+    ])
 
     # input-tree openings (pruned proofs from the per-level gathers)
     input_openings = []
-    for log_batch_max, n_mats in input_tree_meta:
+    for log_batch_max, n_mats in meta["input_tree_meta"]:
         tree_indices = [
             i >> (log_global_max_height - log_batch_max) for i in indices
         ]
         mat_lists = [
-            F.from_monty_np(next(it)).reshape(len(indices), -1).tolist()
+            F.from_monty_np(next(it)).reshape(num_queries, -1).tolist()
             for _ in range(n_mats)
         ]
         sib_levels = [next(it) for _ in range(log_batch_max)]
         rows_pq = [
             [mat_lists[k][q] for k in range(n_mats)]
-            for q in range(len(indices))
+            for q in range(num_queries)
         ]
         input_openings.append(BatchMultiOpening(
             opened_values=rows_pq,
@@ -428,12 +493,11 @@ def _prove_device_fs(config, air, trace, public_values, spans=None):
     # FRI round openings
     commit_phase_steps = []
     qidx = list(indices)
-    for log_arity, data in zip(log_arities, datas):
+    for log_arity, levels in zip(log_arities, meta["fri_tree_levels"]):
         arity = 1 << log_arity
         row_indices = [i >> log_arity for i in qidx]
-        levels = log2_strict(data.layers[0].shape[0])
         rows = F.from_monty_np(next(it)).reshape(
-            len(indices), arity, E.D
+            num_queries, arity, E.D
         ).tolist()
         sib_levels = [next(it) for _ in range(levels)]
         sibs = []
@@ -451,7 +515,7 @@ def _prove_device_fs(config, air, trace, public_values, spans=None):
 
     fri_proof = FriProof(
         commit_phase_commits=fri_commits,
-        commit_pow_witnesses=[0] * len(datas),
+        commit_pow_witnesses=[0] * n_fri_rounds,
         input_openings=input_openings,
         commit_phase_steps=commit_phase_steps,
         final_poly=final_poly,
@@ -469,5 +533,5 @@ def _prove_device_fs(config, air, trace, public_values, spans=None):
                              for i in range(num_chunks)],
         ),
         opening_proof=fri_proof,
-        degree_bits=log_n,
+        degree_bits=meta["log_n"],
     )
