@@ -165,8 +165,10 @@ def prove_fri(
         arity = 1 << log_arity
         log_arities.append(log_arity)
 
-        # width-arity ext matrix of adjacent (conjugate) evals
-        leaves = folded.reshape(-1, arity, E.D)
+        # width-arity ext matrix of adjacent (conjugate) evals (NCOLS =
+        # wire columns per ext element; == E.D except for 64-bit fields
+        # whose elements span two u32 limb lanes — gl/field.py)
+        leaves = folded.reshape(-1, arity, getattr(E, "NCOLS", E.D))
         data = fri_mmcs.commit_ext_matrix(leaves)
         commits.append(data.commitment)
         challenger.observe_digest(data.commitment)
@@ -200,7 +202,11 @@ def prove_fri(
     final_evals = folded[:L]  # bitrev prefix = restriction to subgroup H_L
     if L > 1:
         final_evals = bitrev_permute_axis0(final_evals, log2_strict(L))
-        final_coeffs = idft(F, final_evals)
+        idft_fn = getattr(folding, "idft_final", None)
+        final_coeffs = (
+            idft_fn(final_evals) if idft_fn is not None
+            else idft(F, final_evals)
+        )
     else:
         final_coeffs = final_evals
     fc = F.from_monty_np(np.asarray(final_coeffs))

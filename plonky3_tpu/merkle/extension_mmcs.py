@@ -17,9 +17,16 @@ from .mmcs import MerkleTreeMmcs, MerkleProverData
 class ExtensionMmcs:
     inner: MerkleTreeMmcs
     D: int
+    # wire u32 columns per ext element (== D for 31-bit fields; 2·D for
+    # Goldilocks, whose elements span two limb lanes — gl/field.py)
+    wire_cols: int = 0
+
+    @property
+    def _wc(self) -> int:
+        return self.wire_cols or self.D
 
     def commit_ext_matrix(self, mat) -> MerkleProverData:
-        """mat: (h, w, D) device uint32 -> commit flattened (h, w·D).
+        """mat: (h, w, wire_cols) device uint32 -> commit flattened.
 
         jit_tree=False: FRI commits one matrix per round at a fresh height
         each time; the eager ladder shares the shape-cached permutation
@@ -28,7 +35,7 @@ class ExtensionMmcs:
         import numpy as _np
 
         h, w, d = mat.shape
-        assert d == self.D
+        assert d == self._wc
         # device: ONE jitted tree program per (h, w) shape — with the
         # persistent compile cache this costs one compile ever and one
         # dispatch per round (vs ~log h eager dispatches, which dominated
@@ -44,7 +51,7 @@ class ExtensionMmcs:
         flat = []
         for mat in mats:
             h, w, d = mat.shape
-            assert d == self.D
+            assert d == self._wc
             flat.append(mat.reshape(h, w * d))
         if all(isinstance(m, _np.ndarray) for m in flat):
             jit_tree = "np"

@@ -189,6 +189,10 @@ class MerkleTreeMmcs:
     # reference's behavior on small FRI round trees).
     cap_height: int = 0
 
+    # dtype of standard-form wire values in proofs (u32 for the 31-bit
+    # fields; the Goldilocks mmcs overrides with u64 — gl/merkle.py)
+    wire_dtype = np.uint32
+
     def _eff_cap(self, log_max: int) -> int:
         return min(self.cap_height, log_max)
 
@@ -358,7 +362,8 @@ class MerkleTreeMmcs:
         def rows_at_np(h):
             """(Q, total_w) standard-form concat of height-h matrices."""
             parts = [
-                np.array([rows[i] for rows in rows_pq], dtype=np.uint32)
+                np.array([rows[i] for rows in rows_pq],
+                         dtype=self.wire_dtype)
                 for i in order
                 if heights[i] == h
             ]
@@ -373,7 +378,7 @@ class MerkleTreeMmcs:
         for lvl in range(log_levels):
             h //= 2
             sib = np.array(
-                [proof[lvl] for proof in proofs_pq], dtype=np.uint32
+                [proof[lvl] for proof in proofs_pq], dtype=self.wire_dtype
             )
             if dif:
                 sib = to_m(sib)
@@ -389,10 +394,10 @@ class MerkleTreeMmcs:
         if dif:
             digest = self.F.from_monty_np(digest)
         if self._eff_cap(log_max) == 0:
-            want = np.array(root_std, dtype=np.uint32)
+            want = np.array(root_std, dtype=self.wire_dtype)
             return bool((digest == want[None, :]).all())
         # cap comparison: each query's digest must equal its cap entry
-        cap = np.array(root_std, dtype=np.uint32)  # (2^cap, dw)
+        cap = np.array(root_std, dtype=self.wire_dtype)  # (2^cap, dw)
         if cap.ndim != 2 or cap.shape[0] != (1 << self._eff_cap(log_max)):
             return False
         return bool((digest == cap[idx]).all())
@@ -575,7 +580,8 @@ class MerkleTreeMmcs:
         def tips_for(h, leads):
             """Hash the height-h matrices' rows for the lead queries."""
             parts = [
-                np.array([rows_pq[q][i] for q in leads], dtype=np.uint32)
+                np.array([rows_pq[q][i] for q in leads],
+                         dtype=self.wire_dtype)
                 for i in order
                 if heights[i] == h
             ]
@@ -614,7 +620,8 @@ class MerkleTreeMmcs:
                     if n & 1:
                         if (n ^ 1) in node_set:
                             continue  # handled by the even sibling
-                        sib = np.asarray(next(sib_iter), dtype=np.uint32)
+                        sib = np.asarray(next(sib_iter),
+                                         dtype=self.wire_dtype)
                         consumed += 1
                         left_rows.append(to_m(sib) if dif else sib)
                         right_rows.append(digests[pos[n]])
@@ -624,7 +631,8 @@ class MerkleTreeMmcs:
                         if (n ^ 1) in node_set:
                             right_rows.append(digests[pos[n ^ 1]])
                         else:
-                            sib = np.asarray(next(sib_iter), dtype=np.uint32)
+                            sib = np.asarray(next(sib_iter),
+                                             dtype=self.wire_dtype)
                             consumed += 1
                             right_rows.append(to_m(sib) if dif else sib)
                         parents.append(n >> 1)
@@ -649,11 +657,11 @@ class MerkleTreeMmcs:
         if dif:
             digests = self.F.from_monty_np(digests)
         if self._eff_cap(log_max) == 0:
-            want = np.array(root_std, dtype=np.uint32)
+            want = np.array(root_std, dtype=self.wire_dtype)
             return bool((digests[0] == want).all())
         # several frontier nodes may survive at the cap layer; each must
         # equal its committed cap entry
-        cap = np.array(root_std, dtype=np.uint32)
+        cap = np.array(root_std, dtype=self.wire_dtype)
         if cap.ndim != 2 or cap.shape[0] != (1 << self._eff_cap(log_max)):
             return False
         pos = {n: i for i, n in enumerate(nodes)}

@@ -39,6 +39,16 @@ if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["XLA_FLAGS"] = flags
 
+# Persistent compile cache: the heavyweight jitted programs (fused NTT
+# bodies, Merkle tree builds, quotient passes — the GL limb-pair DIF
+# alone costs minutes of XLA:CPU compile at some shapes) compile ONCE
+# ever per shape; later CI runs hit the disk cache.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np
 import pytest
 
