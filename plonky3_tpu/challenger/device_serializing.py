@@ -129,6 +129,101 @@ def _sample_bits_jit(input_words, k: int, num: int, bits: int):
     return vals, state
 
 
+def _grind_search(F, state_words, pow_bits: int, batch: int):
+    """Smallest witness w with keccak256(state_words ++ [monty(w)])'s
+    first popped u32 passing the PoW. Handles messages of ANY length:
+    the witness-independent prefix blocks absorb once; per candidate
+    only the block(s) from the witness word onward permute (usually one;
+    two when the 0x01 pad spills into a fresh block)."""
+    m = state_words.shape[0]
+    total = m + 1  # message = state_words ++ [witness]
+    nb = total // RATE_WORDS + 1
+    buf = jnp.zeros((nb * RATE_WORDS,), jnp.uint32)
+    buf = buf.at[:m].set(state_words)
+    buf = buf.at[total].set(jnp.uint32(1))  # 0x01 pad word
+    buf = buf.at[nb * RATE_WORDS - 1].set(
+        buf[nb * RATE_WORDS - 1] ^ jnp.uint32(0x80000000)
+    )
+    wblock = m // RATE_WORDS  # block index holding the witness word
+    wpos = m % RATE_WORDS
+
+    def absorb_one(state, block):
+        lo, hi = state
+        lo = lo.at[..., :17].set(lo[..., :17] ^ block[..., 0::2])
+        hi = hi.at[..., :17].set(hi[..., :17] ^ block[..., 1::2])
+        return keccak_f1600_arrays(jnp, lo, hi)
+
+    z = jnp.zeros((25,), jnp.uint32)
+    prefix = (z, z)
+    for b in range(wblock):
+        prefix = absorb_one(prefix, buf[b * RATE_WORDS : (b + 1) * RATE_WORDS])
+    tail = buf[wblock * RATE_WORDS :].reshape(-1, RATE_WORDS)
+
+    pow_mask = jnp.uint32((1 << pow_bits) - 1)
+    iota = jnp.arange(batch, dtype=jnp.uint32)
+
+    def try_batch(start):
+        w_m = F.to_monty(start + iota)
+        t0 = jnp.broadcast_to(tail[0], (batch, RATE_WORDS))
+        t0 = t0.at[:, wpos].set(t0[:, wpos] ^ w_m)
+        state = (
+            jnp.broadcast_to(prefix[0], (batch, 25)),
+            jnp.broadcast_to(prefix[1], (batch, 25)),
+        )
+        state = absorb_one(state, t0)
+        for b in range(1, tail.shape[0]):
+            state = absorb_one(
+                state, jnp.broadcast_to(tail[b], (batch, RATE_WORDS))
+            )
+        v = _bswap32(state[1][:, 3])
+        ok = (v & pow_mask) == 0
+        i = jnp.argmax(ok)
+        return start + i.astype(jnp.uint32), ok[i]
+
+    def cond(c):
+        return ~c[2]
+
+    def body(c):
+        start = c[0]
+        w, found = try_batch(start)
+        return (start + jnp.uint32(batch), w, found)
+
+    _, witness, _found = jax.lax.while_loop(
+        cond, body, (jnp.uint32(0), jnp.uint32(0), jnp.bool_(False))
+    )
+    return witness
+
+
+@partial(
+    jax.jit,
+    static_argnames=("F", "pow_bits", "num", "k", "batch"),
+)
+def _grind_fields_jit(
+    F, state_words, pow_bits: int, num: int, k: int, batch: int = 1 << 17,
+):
+    """Device PoW grind + `num` rejection-sampled field elements in one
+    program — the per-FRI-round `grind(commit_pow); sample beta` pair
+    (`fri/src/prover.rs:192` round structure).
+
+    Returns (witness_std, vals_std (num,), state_digest, ok)."""
+    pow_mask = jnp.uint32((1 << pow_bits) - 1)
+    witness = _grind_search(F, state_words, pow_bits, batch)
+
+    input2 = jnp.concatenate([state_words, F.to_monty(witness)[None]])
+    digs = _flush_chain(input2, k)
+    sup = _supply(digs)
+    pow_ok = (sup[0] & pow_mask) == 0
+    bound = jnp.uint32((1 << (F.P - 1).bit_length()) - 1)
+    v = sup[1:] & bound
+    ok = v < jnp.uint32(F.P)
+    cs = jnp.cumsum(ok.astype(jnp.int32))
+    pos = jnp.stack([jnp.argmax(cs == (j + 1)) for j in range(num)])
+    vals = v[pos]
+    consumed = 1 + pos[num - 1] + 1
+    state = digs[(consumed - 1) // 8]
+    return witness, vals, state, pow_ok & (cs[-1] >= num)
+
+
 @partial(
     jax.jit,
     static_argnames=("F", "pow_bits", "n_idx", "idx_bits", "batch"),
@@ -145,42 +240,8 @@ def _grind_indices_jit(
     grind -> sample_bits sequence (`grinding_challenger.rs`).
 
     Returns (witness_std, indices (n_idx,) u32, state_digest, pow_ok)."""
-    m = state_words.shape[0]
-    assert m + 2 <= RATE_WORDS, "grind message must fit one rate block"
-    base = jnp.zeros((RATE_WORDS,), jnp.uint32)
-    base = base.at[:m].set(state_words)
-    base = base.at[m + 1].set(jnp.uint32(1))  # 0x01 pad after witness word
-    base = base.at[RATE_WORDS - 1].set(
-        base[RATE_WORDS - 1] ^ jnp.uint32(0x80000000)
-    )
     pow_mask = jnp.uint32((1 << pow_bits) - 1)
-    iota = jnp.arange(batch, dtype=jnp.uint32)
-
-    def try_batch(start):
-        w_m = F.to_monty(start + iota)
-        buf = jnp.broadcast_to(base, (batch, RATE_WORDS))
-        buf = buf.at[:, m].set(buf[:, m] ^ w_m)
-        lo = jnp.zeros((batch, 25), jnp.uint32)
-        hi = jnp.zeros((batch, 25), jnp.uint32)
-        lo = lo.at[:, :17].set(buf[:, 0::2])
-        hi = hi.at[:, :17].set(buf[:, 1::2])
-        olo, ohi = keccak_f1600_arrays(jnp, lo, hi)
-        v = _bswap32(ohi[:, 3])  # first popped u32 = bswap(word 7)
-        ok = (v & pow_mask) == 0
-        i = jnp.argmax(ok)
-        return start + i.astype(jnp.uint32), ok[i]
-
-    def cond(c):
-        return ~c[2]
-
-    def body(c):
-        start = c[0]
-        w, found = try_batch(start)
-        return (start + jnp.uint32(batch), w, found)
-
-    _, witness, _found = jax.lax.while_loop(
-        cond, body, (jnp.uint32(0), jnp.uint32(0), jnp.bool_(False))
-    )
+    witness = _grind_search(F, state_words, pow_bits, batch)
 
     input2 = jnp.concatenate(
         [state_words, F.to_monty(witness)[None]]
@@ -248,6 +309,19 @@ class DeviceSerializingChallenger32:
         vals, state = _sample_bits_jit(inp, k, num, bits)
         self.digest, self.pending = state, []
         return vals
+
+    def grind_then_sample_fields(self, pow_bits: int, num: int):
+        """grind(pow_bits) then `num` field samples (the FRI commit-PoW +
+        beta pair). Returns (witness_std scalar, (num,) MONTY array)."""
+        assert pow_bits > 0
+        inp = self._input_words()
+        k = (1 + num + 4 + 7) // 8 + 1
+        witness, vals, state, ok = _grind_fields_jit(
+            self.F, inp, pow_bits, num, k
+        )
+        self.digest, self.pending = state, []
+        self.flags.append(ok)
+        return witness, self.F.to_monty(vals)
 
     def grind_and_sample_indices(self, pow_bits: int, n_idx: int,
                                  idx_bits: int):

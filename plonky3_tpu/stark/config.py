@@ -37,13 +37,15 @@ class StarkConfig:
         return DuplexChallenger(default_poseidon2(self.F, 24), rate=16)
 
 
-def poseidon2_stark_config(F, E, fri_params: FriParameters) -> StarkConfig:
+def poseidon2_stark_config(F, E, fri_params: FriParameters,
+                           cap_height: int = 0) -> StarkConfig:
     """The Poseidon2 merkle/challenger config of the reference benchmarks
     (examples/src/types.rs:44-62: sponge 24/16/8, compress 16 width,
-    duplex 24/16)."""
+    duplex 24/16; cap_height 3 in the example configs, proofs.rs:96)."""
     mmcs = MerkleTreeMmcs(
         sponge=PaddingFreeSponge(default_poseidon2(F, 24), rate=16, out=8),
         compressor=TruncatedPermutation(default_poseidon2(F, 16), chunk=8),
+        cap_height=cap_height,
     )
     pcs = TwoAdicFriPcs(
         F=F, E=E, fri=fri_params, mmcs=mmcs,
@@ -104,7 +106,8 @@ def circle_stark_config(fri_params: FriParameters) -> StarkConfig:
     return StarkConfig(pcs=pcs, challenger_kind="keccak")
 
 
-def keccak_stark_config(F, E, fri_params: FriParameters) -> StarkConfig:
+def keccak_stark_config(F, E, fri_params: FriParameters,
+                        cap_height: int = 0) -> StarkConfig:
     """The KeccakF merkle/challenger config of the reference benchmarks
     (examples/src/types.rs:19-42: keccak sponge 25/17/4 over u64 lanes,
     SerializingChallenger32 over Keccak256) — the BASELINE.md canonical
@@ -112,7 +115,8 @@ def keccak_stark_config(F, E, fri_params: FriParameters) -> StarkConfig:
     from ..hashes.keccak_sponge import KeccakCompressor, KeccakFieldSponge
 
     mmcs = MerkleTreeMmcs(
-        sponge=KeccakFieldSponge(F), compressor=KeccakCompressor()
+        sponge=KeccakFieldSponge(F), compressor=KeccakCompressor(),
+        cap_height=cap_height,
     )
     pcs = TwoAdicFriPcs(
         F=F, E=E, fri=fri_params, mmcs=mmcs,

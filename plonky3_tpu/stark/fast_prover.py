@@ -36,10 +36,13 @@ concrete index values, which only exist after the pull. The ~60 KB of
 redundant digests cost ~2 ms of transfer — a pull of the indices alone
 would cost 29.
 
-Applicability: TwoAdicFriPcs + u32-word keccak Merkle/transcript
-(`keccak_stark_config`), cap_height 0, commit_proof_of_work_bits 0, no
-ZK. `prove_fast` falls back to the host-transcript `prove` otherwise —
-and re-proves on it in the (cryptographically negligible, device-flagged)
+Applicability: non-ZK TwoAdicFriPcs under either reference benchmark
+transcript — u32-word keccak (`keccak_stark_config`,
+device_serializing.py) or Poseidon2 duplex (`poseidon2_stark_config`,
+device_duplex.py) — including Merkle caps (cap_height > 0, the
+examples/src/proofs.rs:96 shape) and per-round FRI commit PoW.
+`prove_fast` falls back to the host-transcript `prove` otherwise — and
+re-proves on it in the (cryptographically negligible, device-flagged)
 event a sampling supply ran short.
 
 Reference spec: uni-stark/src/prover.rs:379, fri/src/prover.rs:43,
@@ -80,21 +83,30 @@ class _Unsupported(Exception):
 
 
 def _mmcs_commit_lazy(mmcs, mats):
-    """mmcs.commit without the root pull (root stays a device (8,) word
-    array at layers[-1][0]; root_std is filled in after the final pull)."""
+    """mmcs.commit without the root pull (the commitment — root digest or
+    Merkle-cap layer — stays a device array; standard form is filled in
+    after the final pull). `data.eff_cap` records the clamped cap height
+    (merkle_tree.rs:182-198); `data.commit_dev` is the device commitment
+    ((8,) root words, or the (2^cap, 8) cap layer)."""
     for m in mats:
         log2_strict(m.shape[0])
     if getattr(mmcs.sponge, "host_only", False):
         raise _Unsupported("host-only sponge")
     log_max = log2_strict(max(m.shape[0] for m in mats))
-    if mmcs._eff_cap(log_max) != 0:
-        raise _Unsupported("Merkle caps not wired into the fast path")
+    eff_cap = mmcs._eff_cap(log_max)
+    if eff_cap > 0 and min(m.shape[0] for m in mats) < (1 << eff_cap):
+        raise _Unsupported("matrix shorter than the Merkle cap layer")
     layers = _build_layers(mmcs, mats)  # traced into the outer program
-    return MerkleProverData(
+    data = MerkleProverData(
         matrices=list(mats), layers=layers, root_std=None,
         digest_is_field=getattr(mmcs.sponge, "digest_is_field", True),
         cap_std=None,
     )
+    data.eff_cap = eff_cap
+    data.commit_dev = (
+        layers[-1][0] if eff_cap == 0 else layers[log_max - eff_cap]
+    )
+    return data
 
 
 def _pcs_commit_lazy(pcs, evaluations):
@@ -138,13 +150,14 @@ def _pruned_wire(indices, levels: int, sib_levels):
 
 def _tree_gathers(data, tree_idx):
     """Device gathers opening a tree at device indices: every matrix row
-    (index >> height shift) + every level's sibling digest."""
+    (index >> height shift) + every level's sibling digest (proof paths
+    stop `eff_cap` levels below the root — mmcs/mod.rs:96)."""
     log_max = log2_strict(data.layers[0].shape[0])
     out = []
     for m in data.matrices:
         shift = log_max - log2_strict(m.shape[0])
         out.append(m[(tree_idx >> shift).astype(jnp.int32)])
-    for lvl in range(log_max):
+    for lvl in range(log_max - getattr(data, "eff_cap", 0)):
         out.append(
             data.layers[lvl][((tree_idx >> lvl) ^ 1).astype(jnp.int32)]
         )
@@ -179,12 +192,22 @@ def _device_body(config, air, trace, publics_m, meta):
     # ---- commit trace ----
     trace_domain = pcs.natural_domain_for_degree(n)
     trace_data = _pcs_commit_lazy(pcs, [(trace_domain, trace)])
-    if trace_data.digest_is_field:
-        raise _Unsupported("field-digest Merkle pairs with the duplex FS")
+    kind = "keccak" if config.challenger_kind == "keccak" else "duplex"
+    if kind == "keccak":
+        if trace_data.digest_is_field:
+            raise _Unsupported("keccak transcript needs word digests")
+        ch = DeviceSerializingChallenger32(F)
+    else:
+        # the reference's Poseidon2 benchmark config: field digests +
+        # DuplexChallenger 24/16 (examples/src/types.rs:44-62)
+        if not trace_data.digest_is_field:
+            raise _Unsupported("duplex transcript needs field digests")
+        from ..challenger.device_duplex import DeviceDuplexChallenger
+        from ..hashes.poseidon2 import default_poseidon2
 
-    ch = DeviceSerializingChallenger32(F)
+        ch = DeviceDuplexChallenger(F, default_poseidon2(F, 24), rate=16)
     ch.observe_host_ints([log_n, log_n, 0])
-    trace_root_dev = trace_data.layers[-1][0]
+    trace_root_dev = trace_data.commit_dev
     ch.observe_words(trace_root_dev)
     ch.observe_words(publics_m)  # already Monty-form, same wire words
 
@@ -214,7 +237,7 @@ def _device_body(config, air, trace, publics_m, meta):
     sub_evals = quotient_domain.split_evals(num_chunks, q_flat)
     sub_domains = quotient_domain.split_domains(num_chunks)
     quotient_data = _pcs_commit_lazy(pcs, list(zip(sub_domains, sub_evals)))
-    quotient_root_dev = quotient_data.layers[-1][0]
+    quotient_root_dev = quotient_data.commit_dev
     ch.observe_words(quotient_root_dev)
 
     zeta_m = ch.sample_fields_m(E.D)
@@ -306,7 +329,7 @@ def _device_body(config, air, trace, publics_m, meta):
     folded = fri_input[0]
     rest = list(fri_input[1:])
     log_final_height = params.log_blowup + params.log_final_poly_len
-    datas, log_arities = [], []
+    datas, log_arities, commit_pow_devs = [], [], []
     while folded.shape[0] > params.blowup * params.final_poly_len:
         log_h = log2_strict(folded.shape[0])
         next_log_h = log2_strict(rest[0].shape[0]) if rest else None
@@ -318,9 +341,15 @@ def _device_body(config, air, trace, publics_m, meta):
         data = _mmcs_commit_lazy(
             fri_mmcs_inner, [folded.reshape(-1, arity * E.D)]
         )
-        ch.observe_words(data.layers[-1][0])
+        ch.observe_words(data.commit_dev)
         datas.append(data)
-        beta_m = ch.sample_fields_m(E.D)
+        if params.commit_proof_of_work_bits:
+            w_dev, beta_m = ch.grind_then_sample_fields(
+                params.commit_proof_of_work_bits, E.D
+            )
+            commit_pow_devs.append(w_dev)
+        else:
+            beta_m = ch.sample_fields_m(E.D)
 
         b = beta_m
         for _ in range(log_arity):
@@ -348,25 +377,33 @@ def _device_body(config, air, trace, publics_m, meta):
         log_global_max_height,  # extra_query_index_bits == 0 (two-adic)
     )
     gathers = []
-    input_tree_meta = []  # (log_batch_max, n_mats)
+    input_tree_meta = []  # (log_batch_max, n_mats, proof levels)
     for data, _ in data_with_points:
         log_batch_max = log2_strict(data.layers[0].shape[0])
         tree_idx = idx_dev >> (log_global_max_height - log_batch_max)
         gathers.extend(_tree_gathers(data, tree_idx))
-        input_tree_meta.append((log_batch_max, len(data.matrices)))
+        input_tree_meta.append(
+            (log_batch_max, len(data.matrices),
+             log_batch_max - data.eff_cap)
+        )
     ridx = idx_dev
-    fri_tree_levels = []
+    fri_tree_levels = []  # proof levels per round (cap-clamped)
     for log_arity, data in zip(log_arities, datas):
         ridx = ridx >> log_arity
         gathers.extend(_tree_gathers(data, ridx))
-        fri_tree_levels.append(log2_strict(data.layers[0].shape[0]))
+        fri_tree_levels.append(
+            log2_strict(data.layers[0].shape[0]) - data.eff_cap
+        )
 
     # ---- one flat output buffer ----
     flags = jnp.stack(ch.flags).astype(jnp.uint32)
-    fri_roots = [d.layers[-1][0] for d in datas]
+    fri_roots = [d.commit_dev for d in datas]
+    pow_out = (
+        [jnp.stack(commit_pow_devs)] if commit_pow_devs else []
+    )
     outs = [flags, trace_root_dev, quotient_root_dev, *fri_roots,
-            *ys_devs, final_coeffs, witness_dev.reshape(1), idx_dev,
-            *gathers]
+            *pow_out, *ys_devs, final_coeffs, witness_dev.reshape(1),
+            idx_dev, *gathers]
     meta.update(
         uses_next=uses_next,
         num_chunks=num_chunks,
@@ -376,6 +413,8 @@ def _device_body(config, air, trace, publics_m, meta):
         fri_tree_levels=fri_tree_levels,
         log_global_max_height=log_global_max_height,
         log_n=log_n,
+        digest_is_field=trace_data.digest_is_field,
+        n_commit_pow=len(commit_pow_devs),
         shapes=[tuple(a.shape) for a in outs],
     )
     return jnp.concatenate([a.reshape(-1).astype(jnp.uint32) for a in outs])
@@ -393,13 +432,11 @@ def _prove_device_fs(config, air, trace, public_values, spans=None):
             _t["last"] = now
 
     F, E, pcs = config.F, config.E, config.pcs
-    if config.challenger_kind != "keccak" or config.challenger_factory:
-        raise _Unsupported("device transcript models the keccak config")
+    if config.challenger_factory:
+        raise _Unsupported("custom challenger factory; use prove()")
     if not isinstance(pcs, TwoAdicFriPcs) or getattr(pcs, "ZK", False):
         raise _Unsupported("fast path covers the non-ZK TwoAdicFriPcs")
     params = pcs.fri
-    if params.commit_proof_of_work_bits != 0:
-        raise _Unsupported("per-round commit PoW not on the device path")
     if params.query_proof_of_work_bits == 0:
         raise _Unsupported("grind(0) path not wired; use prove()")
 
@@ -444,10 +481,26 @@ def _prove_device_fs(config, air, trace, public_values, spans=None):
         # a sampling supply ran short or the PoW replay failed — valid
         # proofs are impossible from this transcript; redo on host FS
         raise _Unsupported("device transcript flag tripped")
-    trace_root = tuple(int(x) for x in next(it))
-    quotient_root = tuple(int(x) for x in next(it))
-    fri_commits = [tuple(int(x) for x in next(it))
-                   for _ in range(n_fri_rounds)]
+    dif = meta["digest_is_field"]
+
+    def dconv(a):
+        """Digest words -> wire form: standard ints; caps nest per digest."""
+        a = F.from_monty_np(a) if dif else a
+        if a.ndim == 1:
+            return tuple(int(x) for x in a)
+        return tuple(tuple(int(x) for x in row) for row in a)
+
+    def sconv(a):
+        """Sibling-digest level array (Q, dw) -> standard-form values."""
+        return F.from_monty_np(a) if dif else a
+
+    trace_root = dconv(next(it))
+    quotient_root = dconv(next(it))
+    fri_commits = [dconv(next(it)) for _ in range(n_fri_rounds)]
+    if meta["n_commit_pow"]:
+        commit_pows = [int(x) for x in next(it)]
+    else:
+        commit_pows = [0] * n_fri_rounds
     ys_np = [F.from_monty_np(next(it)) for _ in range(meta["n_ys"])]
     final_np = F.from_monty_np(next(it))
     final_poly = [tuple(int(c) for c in row) for row in final_np]
@@ -470,7 +523,7 @@ def _prove_device_fs(config, air, trace, public_values, spans=None):
 
     # input-tree openings (pruned proofs from the per-level gathers)
     input_openings = []
-    for log_batch_max, n_mats in meta["input_tree_meta"]:
+    for log_batch_max, n_mats, levels in meta["input_tree_meta"]:
         tree_indices = [
             i >> (log_global_max_height - log_batch_max) for i in indices
         ]
@@ -478,7 +531,7 @@ def _prove_device_fs(config, air, trace, public_values, spans=None):
             F.from_monty_np(next(it)).reshape(num_queries, -1).tolist()
             for _ in range(n_mats)
         ]
-        sib_levels = [next(it) for _ in range(log_batch_max)]
+        sib_levels = [sconv(next(it)) for _ in range(levels)]
         rows_pq = [
             [mat_lists[k][q] for k in range(n_mats)]
             for q in range(num_queries)
@@ -486,7 +539,7 @@ def _prove_device_fs(config, air, trace, public_values, spans=None):
         input_openings.append(BatchMultiOpening(
             opened_values=rows_pq,
             opening_proof=_pruned_wire(
-                tree_indices, log_batch_max, sib_levels
+                tree_indices, levels, sib_levels
             ),
         ))
 
@@ -499,7 +552,7 @@ def _prove_device_fs(config, air, trace, public_values, spans=None):
         rows = F.from_monty_np(next(it)).reshape(
             num_queries, arity, E.D
         ).tolist()
-        sib_levels = [next(it) for _ in range(levels)]
+        sib_levels = [sconv(next(it)) for _ in range(levels)]
         sibs = []
         for idx, grp in zip(qidx, rows):
             pos = idx % arity
@@ -515,7 +568,7 @@ def _prove_device_fs(config, air, trace, public_values, spans=None):
 
     fri_proof = FriProof(
         commit_phase_commits=fri_commits,
-        commit_pow_witnesses=[0] * n_fri_rounds,
+        commit_pow_witnesses=commit_pows,
         input_openings=input_openings,
         commit_phase_steps=commit_phase_steps,
         final_poly=final_poly,

@@ -192,7 +192,7 @@ def prove(
     ch.observe(log_n)  # log_ext_degree (== log_n without ZK)
     ch.observe(log_n)
     ch.observe(0)  # preprocessed width
-    ch.observe_digest(trace_data.root_std)
+    ch.observe_digest(trace_data.commitment)
     ch.observe_many(public_values)
 
     alpha = ch.sample_ext(E.D)
@@ -243,7 +243,7 @@ def prove(
     if hasattr(quotient_data, "layers"):
         jax.block_until_ready(quotient_data.layers[-1])
     _mark("commit quotient")
-    ch.observe_digest(quotient_data.root_std)
+    ch.observe_digest(quotient_data.commitment)
 
     zeta = ch.sample_ext(E.D)
     zeta_next = trace_domain.next_point_ext(E, zeta)
@@ -263,8 +263,8 @@ def prove(
     _mark("open (pcs + fri)")
     return Proof(
         commitments=Commitments(
-            trace=trace_data.root_std,
-            quotient_chunks=quotient_data.root_std,
+            trace=trace_data.commitment,
+            quotient_chunks=quotient_data.commitment,
         ),
         opened_values=OpenedValues(
             trace_local=opened[0][0][0],

@@ -17,23 +17,21 @@ import os
 # register's uncached-backend shim (~75 ms per eager op, 7x slower
 # compiles) — so only fall back to the config override when the env came
 # in pointing at the axon chip.
-_pre = os.environ.get("JAX_PLATFORMS")
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 
-if _pre != "cpu":
-    jax.config.update("jax_platforms", "cpu")
+# ALWAYS force cpu + drop the axon backend factory: the sitecustomize's
+# axon.register() CLOBBERS an exported JAX_PLATFORMS=cpu (discovered
+# 2026-08-19 — the former "fast path" that trusted the env var silently
+# ran the whole suite on the shared TPU chip through the tunnel).
+jax.config.update("jax_platforms", "cpu")
+try:
+    import jax._src.xla_bridge as _xb
 
-    # The sitecustomize also registers the axon TPU backend factory in
-    # every python process; initializing it costs minutes (remote chip
-    # claim). Drop the factory before any jax op so tests never touch it.
-    try:
-        import jax._src.xla_bridge as _xb
-
-        _xb._backend_factories.pop("axon", None)
-    except Exception:
-        pass
+    _xb._backend_factories.pop("axon", None)
+except Exception:
+    pass
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()

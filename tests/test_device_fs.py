@@ -128,3 +128,94 @@ def test_prove_fast_byte_identity(log_n):
     p_dev = _prove_device_fs(config, air, trace, [])
     assert p_dev == p_host
     verify(config, air, p_dev, [])
+
+
+def test_duplex_device_lockstep():
+    """DeviceDuplexChallenger must mirror the host DuplexChallenger on
+    the same observe/sample script (duplex_challenger.rs semantics)."""
+    from plonky3_tpu.challenger.device_duplex import DeviceDuplexChallenger
+    from plonky3_tpu.challenger.duplex import DuplexChallenger
+    from plonky3_tpu.hashes.poseidon2 import default_poseidon2
+
+    host = DuplexChallenger(default_poseidon2(F, 24), rate=16)
+    dev = DeviceDuplexChallenger(F, default_poseidon2(F, 24), rate=16)
+    rng = np.random.default_rng(11)
+
+    ints = [10, 10, 0]
+    host.observe_many(ints)
+    dev.observe_host_ints(ints)
+    digest = tuple(int(x) for x in rng.integers(0, F.P, 8))
+    host.observe_digest(digest)
+    dev.observe_host_ints(list(digest))
+    a_h = host.sample_ext(4)
+    a_d = F.from_monty_np(np.asarray(dev.sample_fields_m(4)))
+    assert a_h == tuple(int(x) for x in a_d)
+
+    # wide observe (the ys pattern: spans many duplex blocks)
+    ys = rng.integers(0, F.P, 700, dtype=np.uint64)
+    host.observe_base_array(ys)
+    dev.observe_words(F.to_monty_np(ys.astype(np.uint32)))
+    z_h = host.sample_ext(4)
+    z_d = F.from_monty_np(np.asarray(dev.sample_fields_m(4)))
+    assert z_h == tuple(int(x) for x in z_d)
+
+    # bit sampling across re-duplexes
+    bits_h = [host.sample_bits(18) for _ in range(40)]
+    bits_d = [int(x) for x in np.asarray(dev.sample_bits_array(18, 40))]
+    assert bits_h == bits_d
+
+    # grind + continued samples stay aligned
+    w_h = host.grind(5)
+    w_d = dev.grind_field(5, batch=1 << 12)
+    assert int(np.asarray(w_d)) == w_h
+    assert all(bool(f) for f in dev.flags)
+    assert host.sample_ext(4) == tuple(
+        int(x) for x in F.from_monty_np(np.asarray(dev.sample_fields_m(4)))
+    )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "merkle,cap_height,commit_pow",
+    [
+        ("keccak-f", 0, 0),
+        ("keccak-f", 3, 2),
+        ("poseidon2", 0, 0),
+        ("poseidon2", 3, 2),
+    ],
+)
+def test_prove_fast_byte_identity_matrix(merkle, cap_height, commit_pow):
+    """Byte-identity of prove_fast vs prove() at log_n=10 across both
+    reference benchmark transcripts, Merkle caps (proofs.rs:96 shape)
+    and per-round commit PoW (round-3 VERDICT next #5)."""
+    import jax.numpy as jnp
+
+    from plonky3_tpu.fri.config import FriParameters
+    from plonky3_tpu.models.poseidon2_air import (
+        Poseidon2VectorAir,
+        generate_vectorized_trace,
+    )
+    from plonky3_tpu.stark.config import (
+        keccak_stark_config,
+        poseidon2_stark_config,
+    )
+    from plonky3_tpu.stark.fast_prover import _prove_device_fs
+    from plonky3_tpu.stark.prover import prove
+    from plonky3_tpu.stark.verifier import verify
+
+    params = FriParameters(
+        log_blowup=1, log_final_poly_len=0, max_log_arity=3,
+        num_queries=10, commit_proof_of_work_bits=commit_pow,
+        query_proof_of_work_bits=8,
+    )
+    mk = keccak_stark_config if merkle == "keccak-f" else poseidon2_stark_config
+    config = mk(F, E, params, cap_height=cap_height)
+    air = Poseidon2VectorAir(F, 16, vector_len=1)
+    rng = np.random.default_rng(5)
+    inputs = jnp.asarray(F.rand_np(rng, (1 << 10, 16)))
+    trace, _ = generate_vectorized_trace(air, inputs)
+
+    p_host = prove(config, air, trace, [])
+    p_dev = _prove_device_fs(config, air, trace, [])
+    assert p_dev == p_host
+    verify(config, air, p_dev, [])

@@ -141,3 +141,48 @@ def test_hlo_collectives_at_benchmark_shape(mesh):
         op in hlo
         for op in ("all-gather", "collective-permute", "all-reduce")
     )
+
+
+def test_prove_fast_sharded_bit_identical(mesh, rng):
+    """The device-FS single-dispatch prover under the mesh (round-3
+    VERDICT next #6): one jitted program, trace row-sharded over 'sp',
+    proof bit-identical to the single-device fast path."""
+    import dataclasses as _dc
+
+    from plonky3_tpu.fields import KoalaBearExt4 as E
+    from plonky3_tpu.fri.config import FriParameters
+    from plonky3_tpu.models.fibonacci import (
+        FibonacciAir,
+        generate_fibonacci_trace,
+    )
+    from plonky3_tpu.stark.config import keccak_stark_config
+    from plonky3_tpu.stark.fast_prover import _prove_device_fs
+    from plonky3_tpu.stark.verifier import verify
+
+    params = FriParameters(
+        log_blowup=1, log_final_poly_len=0, max_log_arity=3,
+        num_queries=6, commit_proof_of_work_bits=0,
+        query_proof_of_work_bits=6,
+    )
+    config = keccak_stark_config(F, E, params)
+    air = FibonacciAir(F)
+    rows, publics = generate_fibonacci_trace(F, 7)
+    trace_host = F.to_monty_np(rows)
+
+    proof_single = _prove_device_fs(
+        config, air, jnp.asarray(trace_host), publics
+    )
+    sharding = NamedSharding(mesh, P("sp", None))
+    trace_sharded = jax.device_put(trace_host, sharding)
+    proof_sharded = _prove_device_fs(config, air, trace_sharded, publics)
+
+    verify(config, air, proof_sharded, publics)
+
+    def flat(x):
+        if _dc.is_dataclass(x):
+            return {k: flat(v) for k, v in vars(x).items()}
+        if isinstance(x, (list, tuple)):
+            return [flat(v) for v in x]
+        return x
+
+    assert flat(proof_single) == flat(proof_sharded)

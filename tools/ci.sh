@@ -5,9 +5,9 @@
 #   2026-08-18  300 passed, exit 0, 6580 s (1 vCPU, contended)
 set -e
 cd "$(dirname "$0")/.."
-# MUST be exported before the interpreter starts: the ambient axon
-# sitecustomize reads it at startup; a post-import override costs ~5x
-# (see tests/conftest.py).
+# NOTE: the ambient axon sitecustomize CLOBBERS JAX_PLATFORMS; the
+# conftest force-switches to cpu and drops the axon backend factory
+# post-import (tests/conftest.py). The export is belt-and-braces only.
 export JAX_PLATFORMS=cpu
 if [ "${CI_SLOW:-0}" = "1" ]; then
   exec python -m pytest tests/ -q -p no:cacheprovider -m ""
