@@ -384,15 +384,67 @@ class WhirPcs:
     def open(self, data: WhirProverData, point: list, challenger):
         """Prove g(point); caller observes commitment/point/value first.
         Returns (value, WhirProof)."""
-        E = self.E
+        from .device_kernels import horner_fold_pair, pull_ext
+
+        E, F = self.E, self.F
         n = log2_strict(data.coeffs.shape[0])
-        coeffs = [E.from_base_h(int(c)) for c in data.coeffs]
-        value = eval_multilinear_coeffs(E, coeffs, point)
+        # lift base coefficients to a device ext array once; g(point) is
+        # n multilinear folds on device (no N-length host list)
+        lifted = np.zeros((data.coeffs.shape[0], E.D), np.uint32)
+        lifted[:, 0] = F.to_monty_np(
+            data.coeffs.astype(np.uint64).astype(np.uint32)
+        )
+        cd = jnp.asarray(lifted)
+        vd = cd
+        for p in point:
+            vd = horner_fold_pair(E, vd, jnp.asarray(E.to_monty_np(p)))
+        value = pull_ext(E, vd[0])
+        # typed domain separator (fiat_shamir/domain_separator.rs analog):
+        # the whole transcript shape is declared from the config; any op
+        # drift raises SchemaViolation at the drift point
+        from ..challenger.schema import SchemaChallenger, whir_schema
+
+        wrapped = not isinstance(challenger, SchemaChallenger)
+        if wrapped:
+            challenger = SchemaChallenger(
+                challenger, whir_schema(self.config, n)
+            )
         proof = self._open_core(
-            coeffs, point, value, challenger, data.tree,
+            cd, point, value, challenger, data.tree,
             n + self.config.log_blowup, False,
         )
+        if wrapped:
+            challenger.finish()
         return value, proof
+
+    @staticmethod
+    def _to_dev(E, coeffs):
+        """Host list of ext tuples (or ready (N, D) device array) ->
+        (N, D) Monty device array."""
+        if not isinstance(coeffs, list):
+            return coeffs
+        arr = np.asarray(coeffs, dtype=np.uint64).astype(np.uint32)
+        return jnp.asarray(E.base.to_monty_np(arr))
+
+    @staticmethod
+    def _weighted_table(E, constraints, n_cur: int):
+        """Σ sc·eq(p, ·) over the batched constraints as ONE device
+        kernel (device_kernels.weighted_eq_table — the packed split-eq
+        analog, multilinear-util/src/split_eq/packed_kernel.rs:1)."""
+        from .device_kernels import weighted_eq_table
+
+        pts = np.asarray(
+            [p for p, _ in constraints], dtype=np.uint64
+        ).astype(np.uint32)  # (C, n_cur, D)
+        scs = np.asarray(
+            [sc for _, sc in constraints], dtype=np.uint64
+        ).astype(np.uint32)  # (C, D)
+        return weighted_eq_table(
+            E,
+            jnp.asarray(E.base.to_monty_np(pts)),
+            jnp.asarray(E.base.to_monty_np(scs)),
+            n_cur,
+        )
 
     def _open_core(self, coeffs, point, value, challenger, tree0,
                    log_h0, ext0, init_constraints=None):
@@ -401,22 +453,38 @@ class WhirPcs:
         hiding code-switch — see hiding_whir.py). init_constraints: an
         optional [(point, scale)] weighted statement replacing the
         single-point one (claim = value = sum of scaled evaluations) —
-        the multi-point batching the reference's EqStatement carries."""
+        the multi-point batching the reference's EqStatement carries.
+
+        Device shape (round-3 VERDICT #4): the sumcheck eval table, the
+        weighted eq table and the live coefficient vector are (N, D)
+        Monty device arrays; each sub-round is one jitted round-poly
+        kernel + three jitted folds + one (3, D) pull; folded codewords
+        commit straight from the live device coefficients
+        (whir/src/pcs/prover/mod.rs:146,214-222 behavioral parity)."""
+        from .device_kernels import (
+            coeffs_to_evals_device,
+            eval_univariate_device,
+            fold_at,
+            horner_fold_pair,
+            pull_ext,
+            round_poly_012,
+        )
+
         F, E, cfg = self.F, self.E, self.config
-        n = log2_strict(len(coeffs))
+        n = log2_strict(
+            len(coeffs) if isinstance(coeffs, list) else coeffs.shape[0]
+        )
         k = cfg.folding_factor
         M = cfg.num_rounds(n)
         assert M >= 1, "need at least one WHIR round"
 
-        evals = coeffs_to_evals_ext(E, coeffs)
+        cd = self._to_dev(E, coeffs)  # (N, D) live coefficients
+        evals = coeffs_to_evals_device(E, cd)
         if init_constraints is None:
             constraints = [(list(point), E.one_h())]
         else:
             constraints = [(list(p), sc) for p, sc in init_constraints]
-        w_table = [E.zero_h()] * (1 << n)
-        for p, sc in constraints:
-            for idx, e in enumerate(eq_table(E, p)):
-                w_table[idx] = E.add_h(w_table[idx], E.mul_h(sc, e))
+        w_table = self._weighted_table(E, constraints, n)
         claim = value
 
         prev_tree, prev_log_h, prev_ext = tree0, log_h0, ext0
@@ -426,28 +494,18 @@ class WhirPcs:
         for rnd in range(M):
             sc_polys, rs = [], []
             for _ in range(k):
-                s = [E.zero_h(), E.zero_h(), E.zero_h()]
-                for j in range(len(evals) // 2):
-                    g0, g1 = evals[2 * j], evals[2 * j + 1]
-                    w0, w1 = w_table[2 * j], w_table[2 * j + 1]
-                    s[0] = E.add_h(s[0], E.mul_h(g0, w0))
-                    s[1] = E.add_h(s[1], E.mul_h(g1, w1))
-                    g2 = E.add_h(g1, E.sub_h(g1, g0))
-                    w2 = E.add_h(w1, E.sub_h(w1, w0))
-                    s[2] = E.add_h(s[2], E.mul_h(g2, w2))
+                s = pull_ext(E, round_poly_012(E, evals, w_table))
                 assert E.add_h(s[0], s[1]) == claim, "sumcheck drift"
                 for v in s:
                     challenger.observe_ext(v)
                 r = challenger.sample_ext(E.D)
                 rs.append(r)
                 sc_polys.append(s)
-                evals = _bind_var(E, evals, r)
-                w_table = _bind_var(E, w_table, r)
+                r_m = jnp.asarray(E.to_monty_np(r))
+                evals = fold_at(E, evals, r_m)
+                w_table = fold_at(E, w_table, r_m)
+                cd = horner_fold_pair(E, cd, r_m)
                 claim = _lagrange_012(E, s, r)
-                coeffs = [
-                    E.add_h(coeffs[2 * j], E.mul_h(r, coeffs[2 * j + 1]))
-                    for j in range(len(coeffs) // 2)
-                ]
             n_cur -= k
             constraints = [
                 (p[k:], E.mul_h(sc, eq_factor(E, p[:k], rs)))
@@ -455,7 +513,8 @@ class WhirPcs:
             ]
 
             if rnd == M - 1:
-                for c in coeffs:
+                final_poly = pull_ext(E, cd)
+                for c in final_poly:
                     challenger.observe_ext(c)
                 pow_witness = challenger.grind(cfg.pow_at(rnd))
                 rows, qvals, qproof = self._answer_queries(
@@ -473,10 +532,14 @@ class WhirPcs:
                         query_proof=qproof,
                     )
                 )
-                return WhirProof(rounds=rounds, final_poly=coeffs)
+                return WhirProof(rounds=rounds, final_poly=final_poly)
 
             log_h = prev_log_h - 1
-            cw = self._encode_ext(coeffs, log_h)
+            # commit the folded codeword straight from the live device
+            # coefficient buffer (no host round-trip)
+            cw = coset_evals_from_coeffs(
+                F, cd, log_h - log2_strict(cd.shape[0]), F.GENERATOR
+            )
             tree = self.fri_mmcs.commit_ext_matrices(
                 [cw.reshape(-1, 1 << k, E.D)]
             )
@@ -485,7 +548,7 @@ class WhirPcs:
             ood_values, new_pts = [], []
             for _ in range(cfg.ood_at(rnd)):
                 z = challenger.sample_ext(E.D)
-                v = eval_univariate(E, coeffs, z)
+                v = eval_univariate_device(E, cd, z)
                 challenger.observe_ext(v)
                 ood_values.append(v)
                 new_pts.append((power_point(E, z, n_cur), v))
@@ -509,10 +572,7 @@ class WhirPcs:
                 claim = E.add_h(claim, E.mul_h(gp, v))
                 gp = E.mul_h(gp, gamma)
 
-            w_table = [E.zero_h()] * (1 << n_cur)
-            for p, sc in constraints:
-                for idx, e in enumerate(eq_table(E, p)):
-                    w_table[idx] = E.add_h(w_table[idx], E.mul_h(sc, e))
+            w_table = self._weighted_table(E, constraints, n_cur)
 
             rounds.append(
                 WhirRoundProof(
@@ -577,10 +637,19 @@ class WhirPcs:
     # -- verify ---------------------------------------------------------
     def verify(self, commitment, n_vars: int, point: list, value,
                proof: WhirProof, challenger):
+        from ..challenger.schema import SchemaChallenger, whir_schema
+
+        wrapped = not isinstance(challenger, SchemaChallenger)
+        if wrapped:
+            challenger = SchemaChallenger(
+                challenger, whir_schema(self.config, n_vars)
+            )
         self._verify_core(
             commitment, n_vars, point, value, proof, challenger,
             n_vars + self.config.log_blowup, False,
         )
+        if wrapped:
+            challenger.finish()
 
     def _verify_core(self, commitment, n_vars: int, point: list, value,
                      proof: WhirProof, challenger, log_h0: int, ext0,
