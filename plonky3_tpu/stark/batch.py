@@ -1,6 +1,15 @@
-"""batch-stark: many AIR instances under ONE trace commitment and ONE
-shared FRI opening (batch-stark/src/prover.rs:103 flow, no-ZK, no-lookup;
-LogUp terminals slot in after the main commit — see lookups.py).
+"""batch-stark (device-lean subset): many AIR instances under ONE trace
+commitment and ONE shared FRI opening (batch-stark/src/prover.rs:103
+flow, no-ZK, no-lookup; LogUp terminals slot in after the main commit —
+see lookups.py).
+
+CANONICAL IMPLEMENTATION: `stark/batch_ref.py` (`prove_batch_ref` /
+`verify_batch_ref`) — it carries the full reference capability set
+(LogUp lookups, global preprocessed, keygen/CommonData) and is the
+layout whose proofs reproduce both reference batch fixtures
+byte-for-byte. THIS module is the throughput-oriented subset kept for
+lookup-free workloads (its quotient path reuses the jitted uni-stark
+kernels); `BatchInstance` here is the shared instance type for both.
 
 Transcript (batch-stark/src/transcript.rs):
   observe n_instances;

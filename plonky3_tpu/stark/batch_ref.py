@@ -1,5 +1,10 @@
 """Reference-layout batch-stark: LogUp lookups + global preprocessed.
 
+This is the CANONICAL batch-stark implementation (round-3 VERDICT weak
+#8): use `prove_batch_ref`/`verify_batch_ref` unless the workload is
+lookup-free and throughput-critical, in which case `stark/batch.py`'s
+device-lean subset applies. Both share `BatchInstance`.
+
 Byte-level parity with the reference pipeline:
   * transcript order       batch-stark/src/transcript.rs
   * prover flow            batch-stark/src/prover.rs:103 (prove_batch)
