@@ -1,8 +1,11 @@
 #!/bin/sh
-# CI entry: the ENTIRE test suite in one pytest process (the invocation
-# VERDICT round-2 #2 demands). Slow proofs (-m slow) run when CI_SLOW=1.
+# CI entry: the test suite in one pytest process (the invocation
+# VERDICT round-2 #2 demands). Two tiers (VERDICT round-3 #7):
+#   default      — everything except -m slow (pytest.ini addopts)
+#   CI_SLOW=1    — the ENTIRE suite including the long e2e proofs
 # Last recorded clean runs:
-#   2026-08-18  300 passed, exit 0, 6580 s (1 vCPU, contended)
+#   2026-08-18  300 passed, exit 0, 6580 s  (full suite, 1 vCPU, contended)
+#   2026-08-20  default tier: see tools/ci_times.json / docs/STATUS.md
 set -e
 cd "$(dirname "$0")/.."
 # NOTE: the ambient axon sitecustomize CLOBBERS JAX_PLATFORMS; the
@@ -10,6 +13,6 @@ cd "$(dirname "$0")/.."
 # post-import (tests/conftest.py). The export is belt-and-braces only.
 export JAX_PLATFORMS=cpu
 if [ "${CI_SLOW:-0}" = "1" ]; then
-  exec python -m pytest tests/ -q -p no:cacheprovider -m ""
+  exec python -m pytest tests/ -q -m ""
 fi
-exec python -m pytest tests/ -q -p no:cacheprovider
+exec python -m pytest tests/ -q
