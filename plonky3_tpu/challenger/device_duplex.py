@@ -126,7 +126,7 @@ class DeviceDuplexChallenger:
 
     # -- PoW grind + query indices --------------------------------------
     def grind_and_sample_indices(self, pow_bits: int, n_idx: int,
-                                 idx_bits: int, batch: int = 1 << 14):
+                                 idx_bits: int, batch: int | None = None):
         """grind(pow_bits) then n_idx sample_bits(idx_bits), all device.
 
         The witness search duplicates the post-observe(w) duplex over a
@@ -143,12 +143,17 @@ class DeviceDuplexChallenger:
         w = self.grind_field(pow_bits)
         return w, self.sample_fields_m(num)
 
-    def grind_field(self, pow_bits: int, batch: int = 1 << 14):
+    def grind_field(self, pow_bits: int, batch: int | None = None):
         """Find + absorb the PoW witness; returns its standard-form
         device scalar. Appends the replay check to `flags`."""
         import jax
 
         assert pow_bits > 0
+        if batch is None:
+            # size the candidate batch to the expected 2^pow_bits tries
+            # (~2x over-provisioned); the smallest witness is found
+            # regardless — windows are contiguous, first pass wins
+            batch = 1 << min(17, pow_bits + 2)
         F = self.F
         k = len(self.input_buffer)
         assert k + 1 <= self.rate

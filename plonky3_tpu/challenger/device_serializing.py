@@ -45,6 +45,15 @@ from ..hashes.keccak import keccak_f1600_arrays
 RATE_WORDS = 34  # 136-byte keccak-256 rate as u32 words
 
 
+def _grind_batch(pow_bits: int) -> int:
+    """Candidate batch sized to the expected 2^pow_bits tries (~2x
+    over-provisioned so the search usually ends in one while_loop
+    iteration), capped at the 2^17 that saturates the chip. The found
+    witness is batch-independent: windows are contiguous and the first
+    passing candidate wins."""
+    return 1 << min(17, pow_bits + 2)
+
+
 def _keccak256_words(words):
     """keccak256 of a (n,) u32 LE word stream -> (8,) u32 LE digest words.
 
@@ -317,7 +326,7 @@ class DeviceSerializingChallenger32:
         inp = self._input_words()
         k = (1 + num + 4 + 7) // 8 + 1
         witness, vals, state, ok = _grind_fields_jit(
-            self.F, inp, pow_bits, num, k
+            self.F, inp, pow_bits, num, k, batch=_grind_batch(pow_bits)
         )
         self.digest, self.pending = state, []
         self.flags.append(ok)
@@ -331,7 +340,8 @@ class DeviceSerializingChallenger32:
         assert pow_bits > 0
         inp = self._input_words()
         witness, indices, state, pow_ok = _grind_indices_jit(
-            self.F, inp, pow_bits, n_idx, idx_bits
+            self.F, inp, pow_bits, n_idx, idx_bits,
+            batch=_grind_batch(pow_bits),
         )
         self.digest, self.pending = state, []
         self.flags.append(pow_ok)

@@ -5,7 +5,8 @@
 #   CI_SLOW=1    — the ENTIRE suite including the long e2e proofs
 # Last recorded clean runs:
 #   2026-08-18  300 passed, exit 0, 6580 s  (full suite, 1 vCPU, contended)
-#   2026-08-20  default tier: see tools/ci_times.json / docs/STATUS.md
+#   2026-08-20  default tier: see docs/STATUS.md (per-file timings can be
+#               regenerated with tools/ci_times.py)
 set -e
 cd "$(dirname "$0")/.."
 # NOTE: the ambient axon sitecustomize CLOBBERS JAX_PLATFORMS; the
