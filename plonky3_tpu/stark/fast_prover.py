@@ -1,33 +1,36 @@
-"""Single-dispatch uni-stark prover: device Fiat-Shamir, one program,
-one final transfer.
+"""Two-dispatch uni-stark prover: device Fiat-Shamir with a host-
+assisted alpha2, two programs, two transfers.
 
 Functionally identical to `prover.py` (same Proof, byte-for-byte), but
-the ENTIRE device side — trace commit, transcript observes/samples
-(`challenger/device_serializing.py`), quotient evaluation, FRI commit
-phase, PoW grind, query-index sampling, and every Merkle/row gather —
-traces into ONE `jax.jit` program that returns ONE flat u32 buffer.
-Steady state is therefore one host->device dispatch plus one
-device->host pull. Through the axon tunnel every dispatch/pull costs
-~1-30 ms of latency; the round-3 version of this prover ran the same
-math as ~300 eagerly-dispatched programs and spent 5.7 s in latency
-(131k perms/s vs the host-transcript prover's 1.38M). Fusing to one
-program also lets XLA do global buffer liveness instead of keeping
-every eager intermediate alive.
+the device side traces into TWO `jax.jit` programs:
 
-Shape of the program (all inside one trace):
-  commit trace -> observe root -> alpha -> quotient eval/commit ->
-  zeta -> ys (MXU coefficient dots), observed -> reduced accumulation ->
-  every FRI round (roots observed, betas sampled, folds applied) ->
-  final poly -> device PoW grind + query indices -> query gathers
-  against the still-device indices -> ONE flat concatenation of flags,
-  roots, ys, final poly, witness, indices, rows and per-level sibling
-  digests. The host unpacks that one buffer and assembles the identical
-  pruned-multiproof Proof.
+  program 1: trace commit -> observe root -> alpha -> quotient
+    eval/commit -> zeta -> ys (MXU coefficient dots). Pulls ONE small
+    buffer (flags, the two commitments, the ys wire values, ~44 KB);
+    the LDEs/Merkle layers/ys stay device-resident as a carry pytree.
+  host: replays the transcript over the pulled wire values with the
+    host challenger (C keccak / exact-int Poseidon2, <1 ms) to sample
+    alpha2, and seeds program 2 with the resulting transcript state.
+  program 2: reduced-opening accumulation -> every FRI round (roots
+    observed, betas sampled on device) -> final poly -> device PoW
+    grind + query indices -> query gathers -> ONE flat buffer the host
+    unpacks into the identical pruned-multiproof Proof.
 
-The jitted program is cached per (config, air, trace shape, #publics);
-static structure discovered during tracing (FRI arity schedule, tree
-shapes, output layout) is recorded in a side dict at trace time and
-reused for host assembly on every later call.
+Why the split: absorbing the ~11k-word ys stream into the DEVICE
+transcript is a chain of ~320 SEQUENTIAL permutations on a single
+sponge state — measured 294 ms of the round-4 single-program prover's
+620 ms at the benchmark shape (tools/profile_stages.py), pure latency
+on work the host hash does in <1 ms. Every other transcript
+interaction (alpha/zeta/betas/queries) absorbs tens of words and stays
+on device. The extra pull costs ~30 ms through the axon tunnel;
+round 3's version of this prover eagerly dispatched ~300 programs and
+paid 5.7 s in the same latency — the design point is "as few
+dispatches as the transcript's serial hash cost allows", which is two.
+
+Programs are cached per (config, air, trace shape, #publics); static
+structure discovered during tracing (FRI arity schedule, tree shapes,
+output layout) is recorded in a side dict at trace time and reused for
+host assembly on every later call.
 
 The pruned Merkle proofs are reconstructed on the host from NON-pruned
 per-level sibling gathers (every (index >> lvl) ^ 1 digest): the pruned
@@ -164,9 +167,9 @@ def _tree_gathers(data, tree_idx):
     return out
 
 
-# (config, air, trace shape, #publics) -> (jitted program, meta dict).
-# meta is filled during the first trace (static structure: arity
-# schedule, tree metadata, output layout) and reused for host assembly.
+# (config, air, trace shape, #publics) -> {"fn1", "fn2", "meta"}.
+# meta is filled during the first traces (static structure: arity
+# schedule, tree metadata, output layouts) and reused for host assembly.
 _PROGRAM_CACHE: dict = {}
 
 
@@ -178,11 +181,28 @@ def prove_fast(config, air, trace, public_values, spans=None) -> Proof:
         return prove(config, air, trace, public_values, spans=spans)
 
 
-def _device_body(config, air, trace, publics_m, meta):
-    """The whole device side of the proof as one traceable function.
+def _device_body_p1(config, air, trace, publics_m, meta, stop=None):
+    """Program 1 of the split device prover: trace commit -> alpha ->
+    quotient -> zeta -> ys coefficient dots.
 
-    Returns one flat u32 vector; records static structure in `meta`."""
+    Returns (small, carry): `small` is one flat u32 vector to PULL
+    (transcript validity flags, the two commitments, the ys wire
+    values); `carry` is the pytree of device-resident arrays program 2
+    consumes (LDE matrices, Merkle digest layers, ys, zeta). Static
+    structure is recorded in `meta`.
+
+    `stop` (profiling only — tools/profile_stages.py): truncate the
+    program at a named phase boundary and return a tiny probe (modular
+    sums of the phase outputs, so the phase compute can't be dead-code
+    eliminated and the pull stays O(bytes)-free). The shipped path
+    always passes stop=None."""
     F, E, pcs = config.F, config.E, config.pcs
+
+    def _probe(arrs):
+        return jnp.stack(
+            [F.sum(a.reshape(-1).astype(jnp.uint32), axis=0) for a in arrs]
+        )
+
     params = pcs.fri
     n = trace.shape[0]
     log_n = log2_strict(n)
@@ -210,6 +230,8 @@ def _device_body(config, air, trace, publics_m, meta):
     trace_root_dev = trace_data.commit_dev
     ch.observe_words(trace_root_dev)
     ch.observe_words(publics_m)  # already Monty-form, same wire words
+    if stop == "trace_commit":
+        return _probe([trace_root_dev])
 
     alpha_m = ch.sample_fields_m(E.D)  # (D,) monty device
 
@@ -234,11 +256,15 @@ def _device_body(config, air, trace, publics_m, meta):
     if q_order == "bitrev":
         q_vals = bitrev_permute_axis0(q_vals, quotient_domain.log_n)
     q_flat = q_vals.reshape(quotient_domain.size, E.D)
+    if stop == "quotient_vals":
+        return _probe([trace_root_dev, q_flat])
     sub_evals = quotient_domain.split_evals(num_chunks, q_flat)
     sub_domains = quotient_domain.split_domains(num_chunks)
     quotient_data = _pcs_commit_lazy(pcs, list(zip(sub_domains, sub_evals)))
     quotient_root_dev = quotient_data.commit_dev
     ch.observe_words(quotient_root_dev)
+    if stop == "quotient_commit":
+        return _probe([trace_root_dev, quotient_root_dev])
 
     zeta_m = ch.sample_fields_m(E.D)
     gen_m = jnp.uint32(F.to_monty_h(trace_domain.gen))
@@ -277,10 +303,104 @@ def _device_body(config, air, trace, publics_m, meta):
         for cf, pts in zip(data.coeffs, points):
             for z in pts:
                 ys_devs.append(_eval_coeffs(E, cf, zpows[id(z)]))
-    for ys in ys_devs:
-        ch.observe_words(ys)  # row-major (w, D) == per-element observe
+    if stop == "ys":
+        return _probe([trace_root_dev, quotient_root_dev, *ys_devs])
+    # Program 1 ends BEFORE observing ys. Absorbing the ~11k-word ys
+    # stream costs ~320 SEQUENTIAL keccak-f on device — measured 294 ms
+    # at the benchmark shape (tools/profile_stages.py), half the round-4
+    # fused program — while the host C keccak replays the same bytes in
+    # <1 ms. The host samples alpha2 from the pulled wire values (one
+    # ~44 KB pull) and seeds program 2's challenger with the transcript
+    # state (_prove_device_fs). The seeding is byte-exact because every
+    # sample in this protocol is followed by an observe, which clears
+    # sampling leftovers on both transcript models.
+    flags_p1 = (
+        jnp.stack(ch.flags).astype(jnp.uint32)
+        if ch.flags else jnp.zeros((0,), jnp.uint32)
+    )
+    small = [flags_p1, trace_root_dev, quotient_root_dev, *ys_devs]
+    meta.update(
+        uses_next=uses_next,
+        num_chunks=num_chunks,
+        n_ys=len(ys_devs),
+        log_n=log_n,
+        log_global_max_height=log_global_max_height,
+        digest_is_field=trace_data.digest_is_field,
+        n_flags_p1=int(flags_p1.shape[0]),
+        shapes_p1=[tuple(a.shape) for a in small],
+        trace_eff_cap=trace_data.eff_cap,
+        quotient_eff_cap=quotient_data.eff_cap,
+    )
+    carry = (
+        tuple(trace_data.matrices), tuple(trace_data.layers),
+        tuple(quotient_data.matrices), tuple(quotient_data.layers),
+        tuple(ys_devs), zeta_m,
+    )
+    small_flat = jnp.concatenate(
+        [a.reshape(-1).astype(jnp.uint32) for a in small]
+    )
+    return small_flat, carry
 
-    alpha2_m = ch.sample_fields_m(E.D)
+
+class _CarriedTree:
+    """Merkle prover data reconstructed from program-1 carry (matrices +
+    digest layers + the static cap height) — duck-typed for
+    `_tree_gathers`."""
+
+    def __init__(self, matrices, layers, eff_cap):
+        self.matrices = list(matrices)
+        self.layers = list(layers)
+        self.eff_cap = eff_cap
+
+
+def _device_body_p2(config, air, carry, alpha2_m, seed, meta, stop=None):
+    """Program 2: reduced-opening accumulation -> FRI commit phase ->
+    PoW grind -> query gathers, with the transcript seeded from the host
+    replay (`seed`: the 8 keccak digest words, or the (width,) Monty
+    duplex sponge state). Returns one flat u32 vector; extends `meta`
+    with the FRI structure discovered at trace time."""
+    F, E, pcs = config.F, config.E, config.pcs
+
+    def _probe(arrs):
+        return jnp.stack(
+            [F.sum(a.reshape(-1).astype(jnp.uint32), axis=0) for a in arrs]
+        )
+
+    params = pcs.fri
+    (trace_mats, trace_layers, q_mats, q_layers, ys_devs, zeta_m) = carry
+    trace_data = _CarriedTree(trace_mats, trace_layers,
+                              meta["trace_eff_cap"])
+    quotient_data = _CarriedTree(q_mats, q_layers,
+                                 meta["quotient_eff_cap"])
+    uses_next = meta["uses_next"]
+    num_chunks = meta["num_chunks"]
+    log_n = meta["log_n"]
+    log_global_max_height = meta["log_global_max_height"]
+
+    if config.challenger_kind == "keccak":
+        ch = DeviceSerializingChallenger32(F)
+        ch.digest = seed
+    else:
+        from ..challenger.device_duplex import DeviceDuplexChallenger
+        from ..hashes.poseidon2 import default_poseidon2
+
+        ch = DeviceDuplexChallenger(F, default_poseidon2(F, 24), rate=16)
+        ch.state = seed
+
+    trace_domain = pcs.natural_domain_for_degree(1 << log_n)
+    gen_m = jnp.uint32(F.to_monty_h(trace_domain.gen))
+    zeta_next_m = F.mul(zeta_m, gen_m)
+    trace_points = [zeta_m, zeta_next_m] if uses_next else [zeta_m]
+    data_with_points = [
+        (trace_data, [trace_points]),
+        (quotient_data, [[zeta_m]] * num_chunks),
+    ]
+    max_h_for_point = {}  # id(z) -> (z_m, max h)
+    for data, points in data_with_points:
+        for mat, pts in zip(data.matrices, points):
+            for z in pts:
+                prev = max_h_for_point.get(id(z), (z, 0))[1]
+                max_h_for_point[id(z)] = (z, max(prev, mat.shape[0]))
 
     xs_br = bitrev_permute_axis0(
         powers_device(
@@ -323,6 +443,8 @@ def _device_body(config, air, trace, publics_m, meta):
                 )
                 num_reduced[log_h] = nr + w
     fri_input = [reduced[lh] for lh in sorted(reduced, reverse=True)]
+    if stop == "accum":
+        return _probe([alpha2_m, *fri_input])
 
     # ---- FRI commit phase: every round on device ----
     fri_mmcs_inner = pcs.fri_mmcs.inner
@@ -369,6 +491,10 @@ def _device_body(config, air, trace, publics_m, meta):
         final_coeffs = final_evals
     ch.observe_words(final_coeffs)
     ch.observe_host_ints(log_arities)  # arity schedule (prover.rs:103)
+    if stop == "fri":
+        return _probe(
+            [alpha2_m, final_coeffs] + [d.commit_dev for d in datas]
+        )
 
     # ---- device grind + query indices + gathers ----
     witness_dev, idx_dev = ch.grind_and_sample_indices(
@@ -376,6 +502,10 @@ def _device_body(config, air, trace, publics_m, meta):
         params.num_queries,
         log_global_max_height,  # extra_query_index_bits == 0 (two-adic)
     )
+    if stop == "grind":
+        return _probe(
+            [final_coeffs, witness_dev.reshape(1), idx_dev]
+        )
     gathers = []
     input_tree_meta = []  # (log_batch_max, n_mats, proof levels)
     for data, _ in data_with_points:
@@ -396,26 +526,23 @@ def _device_body(config, air, trace, publics_m, meta):
         )
 
     # ---- one flat output buffer ----
-    flags = jnp.stack(ch.flags).astype(jnp.uint32)
+    flags = (
+        jnp.stack(ch.flags).astype(jnp.uint32)
+        if ch.flags else jnp.zeros((0,), jnp.uint32)
+    )
     fri_roots = [d.commit_dev for d in datas]
     pow_out = (
         [jnp.stack(commit_pow_devs)] if commit_pow_devs else []
     )
-    outs = [flags, trace_root_dev, quotient_root_dev, *fri_roots,
-            *pow_out, *ys_devs, final_coeffs, witness_dev.reshape(1),
-            idx_dev, *gathers]
+    outs = [flags, *fri_roots, *pow_out, final_coeffs,
+            witness_dev.reshape(1), idx_dev, *gathers]
     meta.update(
-        uses_next=uses_next,
-        num_chunks=num_chunks,
-        n_ys=len(ys_devs),
         log_arities=log_arities,
         input_tree_meta=input_tree_meta,
         fri_tree_levels=fri_tree_levels,
-        log_global_max_height=log_global_max_height,
-        log_n=log_n,
-        digest_is_field=trace_data.digest_is_field,
+        n_flags_p2=int(flags.shape[0]),
         n_commit_pow=len(commit_pow_devs),
-        shapes=[tuple(a.shape) for a in outs],
+        shapes_p2=[tuple(a.shape) for a in outs],
     )
     return jnp.concatenate([a.reshape(-1).astype(jnp.uint32) for a in outs])
 
@@ -444,43 +571,39 @@ def _prove_device_fs(config, air, trace, public_values, spans=None):
     entry = _PROGRAM_CACHE.get(key)
     if entry is None:
         meta = {}
-        fn = jax.jit(
-            lambda tr, pm: _device_body(config, air, tr, pm, meta)
-        )
-        entry = (fn, meta)
-    fn, meta = entry
+        entry = {
+            "meta": meta,
+            "fn1": jax.jit(
+                lambda tr, pm: _device_body_p1(config, air, tr, pm, meta)
+            ),
+            "fn2": None,  # traced after the first p1 execution
+        }
+    meta = entry["meta"]
 
     publics_m = jnp.asarray(
         F.to_monty_np(np.asarray(public_values, dtype=np.uint32))
     ) if public_values else jnp.zeros((0,), jnp.uint32)
 
-    # one dispatch (raises _Unsupported at trace time if out of scope)
-    flat = fn(trace, publics_m)
-    _PROGRAM_CACHE[key] = entry  # cache only after a successful trace
-    _mark("device program (one dispatch)")
+    # ---- program 1: commit / quotient / ys (raises _Unsupported at
+    # trace time if the config is out of scope) ----
+    small, carry = entry["fn1"](trace, publics_m)
+    _mark("p1 dispatch")
+    small_np = np.asarray(small)
+    _mark("p1 pull (flags + roots + ys)")
 
-    # ---- the single pull ----
-    flat_np = np.asarray(flat)
-    _mark("single pull")
     pulled, off = [], 0
-    for shape in meta["shapes"]:
+    for shape in meta["shapes_p1"]:
         cnt = int(np.prod(shape, dtype=np.int64))
-        pulled.append(flat_np[off:off + cnt].reshape(shape))
+        pulled.append(small_np[off:off + cnt].reshape(shape))
         off += cnt
-
+    it = iter(pulled)
+    flags_p1 = next(it)
+    if not flags_p1.all():
+        # a sampling supply ran short — valid proofs are impossible
+        # from this transcript; redo on host FS
+        raise _Unsupported("device transcript flag tripped (program 1)")
     uses_next = meta["uses_next"]
     num_chunks = meta["num_chunks"]
-    log_arities = meta["log_arities"]
-    log_global_max_height = meta["log_global_max_height"]
-    n_fri_rounds = len(log_arities)
-    num_queries = params.num_queries
-
-    it = iter(pulled)
-    flags_np = next(it)
-    if not flags_np.all():
-        # a sampling supply ran short or the PoW replay failed — valid
-        # proofs are impossible from this transcript; redo on host FS
-        raise _Unsupported("device transcript flag tripped")
     dif = meta["digest_is_field"]
 
     def dconv(a):
@@ -496,12 +619,77 @@ def _prove_device_fs(config, air, trace, public_values, spans=None):
 
     trace_root = dconv(next(it))
     quotient_root = dconv(next(it))
+    ys_np = [F.from_monty_np(next(it)) for _ in range(meta["n_ys"])]
+
+    # ---- host transcript replay -> alpha2 + program-2 seed state ----
+    # The host challenger (C keccak at ~2 Mhash/s / exact-int Poseidon2)
+    # absorbs the same wire values the device transcript would and
+    # samples alpha2 in <1 ms — the device equivalent is ~320 SEQUENTIAL
+    # permutations (~294 ms measured). Every sample is followed by an
+    # observe in this protocol, so seeding program 2 with the post-
+    # sample state (keccak digest chain / duplex sponge state) is
+    # byte-exact.
+    hch = config.initialise_challenger()
+    hch.observe(meta["log_n"])
+    hch.observe(meta["log_n"])
+    hch.observe(0)
+    hch.observe_digest(trace_root)
+    hch.observe_many(public_values)
+    hch.sample_ext(E.D)  # alpha (already consumed on device)
+    hch.observe_digest(quotient_root)
+    hch.sample_ext(E.D)  # zeta
+    for y in ys_np:
+        if hasattr(hch, "observe_base_array"):
+            hch.observe_base_array(y)
+        else:
+            for row in y.tolist():
+                hch.observe_ext(tuple(int(v) for v in row))
+    alpha2 = hch.sample_ext(E.D)
+    alpha2_dev = jnp.asarray(
+        F.to_monty_np(np.asarray(alpha2, dtype=np.uint32))
+    )
+    if config.challenger_kind == "keccak":
+        assert len(hch.input_buffer) == 32  # = the last flush digest
+        seed = jnp.asarray(
+            np.frombuffer(bytes(hch.input_buffer), dtype="<u4")
+        )
+    else:
+        seed = jnp.asarray(F.to_monty_np(
+            np.asarray(hch.state, dtype=np.uint64).astype(np.uint32)
+        ))
+    _mark("host transcript replay (alpha2)")
+
+    # ---- program 2: accumulation / FRI / grind / query gathers ----
+    if entry["fn2"] is None:
+        entry["fn2"] = jax.jit(
+            lambda c, a2, s: _device_body_p2(config, air, c, a2, s, meta)
+        )
+    flat = entry["fn2"](carry, alpha2_dev, seed)
+    _PROGRAM_CACHE[key] = entry  # cache only after successful traces
+    _mark("p2 dispatch")
+    flat_np = np.asarray(flat)
+    _mark("p2 pull")
+
+    pulled, off = [], 0
+    for shape in meta["shapes_p2"]:
+        cnt = int(np.prod(shape, dtype=np.int64))
+        pulled.append(flat_np[off:off + cnt].reshape(shape))
+        off += cnt
+    it = iter(pulled)
+    flags_np = next(it)
+    if not flags_np.all():
+        # the PoW replay failed or a supply ran short — redo on host FS
+        raise _Unsupported("device transcript flag tripped (program 2)")
+    log_arities = meta["log_arities"]
+    log_global_max_height = meta["log_global_max_height"]
+    n_fri_rounds = len(log_arities)
+    num_queries = params.num_queries
+
     fri_commits = [dconv(next(it)) for _ in range(n_fri_rounds)]
     if meta["n_commit_pow"]:
         commit_pows = [int(x) for x in next(it)]
     else:
         commit_pows = [0] * n_fri_rounds
-    ys_np = [F.from_monty_np(next(it)) for _ in range(meta["n_ys"])]
     final_np = F.from_monty_np(next(it))
     final_poly = [tuple(int(c) for c in row) for row in final_np]
     witness = int(next(it)[0])
