@@ -80,8 +80,15 @@ def cmd_prove(args):
         generate_vectorized_trace,
     )
     from .stark.config import keccak_stark_config, poseidon2_stark_config
-    from .stark.prover import prove
     from .stark.verifier import verify
+
+    if args.prover == "fast":
+        # the two-dispatch device-Fiat-Shamir prover (the bench.py path;
+        # falls back to the host transcript when the config is out of
+        # its scope, e.g. ZK or query_pow_bits == 0)
+        from .stark.fast_prover import prove_fast as prove
+    else:
+        from .stark.prover import prove
 
     if args.field == "mersenne-31":
         from .fields.mersenne31 import Mersenne31
@@ -360,6 +367,9 @@ def main(argv=None):
                    choices=["testing", "benchmark", "benchmark-high-arity"])
     p.add_argument("--merkle-hash", default="poseidon2",
                    choices=["poseidon2", "keccak-f"])
+    p.add_argument("--prover", default="host", choices=["host", "fast"],
+                   help="host = host-transcript prover; fast = the "
+                        "two-dispatch device-Fiat-Shamir prover")
     p.add_argument("--repeat", type=int, default=1,
                    help="prove N times; report each (steady-state timing)")
     pc = sub.add_parser("pcs-comparison")

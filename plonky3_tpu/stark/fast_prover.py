@@ -8,9 +8,14 @@ the device side traces into TWO `jax.jit` programs:
     eval/commit -> zeta -> ys (MXU coefficient dots). Pulls ONE small
     buffer (flags, the two commitments, the ys wire values, ~44 KB);
     the LDEs/Merkle layers/ys stay device-resident as a carry pytree.
-  host: replays the transcript over the pulled wire values with the
-    host challenger (C keccak / exact-int Poseidon2, <1 ms) to sample
-    alpha2, and seeds program 2 with the resulting transcript state.
+  host (keccak configs): replays the transcript over the pulled wire
+    values with the host C keccak challenger (<1 ms) to sample alpha2,
+    and seeds program 2 with the resulting digest state. Duplex
+    (Poseidon2) configs instead absorb ys + sample alpha2 on device at
+    the end of program 1 and carry the sponge state — the host
+    Poseidon2 is exact-int Python, ~1000x slower than the C keccak,
+    and host-replaying its ~690-permutation chain measured a 2.2x
+    end-to-end regression.
   program 2: reduced-opening accumulation -> every FRI round (roots
     observed, betas sampled on device) -> final poly -> device PoW
     grind + query indices -> query gathers -> ONE flat buffer the host
@@ -305,15 +310,30 @@ def _device_body_p1(config, air, trace, publics_m, meta, stop=None):
                 ys_devs.append(_eval_coeffs(E, cf, zpows[id(z)]))
     if stop == "ys":
         return _probe([trace_root_dev, quotient_root_dev, *ys_devs])
-    # Program 1 ends BEFORE observing ys. Absorbing the ~11k-word ys
-    # stream costs ~320 SEQUENTIAL keccak-f on device — measured 294 ms
-    # at the benchmark shape (tools/profile_stages.py), half the round-4
-    # fused program — while the host C keccak replays the same bytes in
-    # <1 ms. The host samples alpha2 from the pulled wire values (one
-    # ~44 KB pull) and seeds program 2's challenger with the transcript
-    # state (_prove_device_fs). The seeding is byte-exact because every
-    # sample in this protocol is followed by an observe, which clears
-    # sampling leftovers on both transcript models.
+
+    # Program 1 ends at the alpha2 boundary. HOW alpha2 is sampled is
+    # config-dependent (the ys stream is ~11k words — a ~320-block /
+    # ~690-block SEQUENTIAL absorb chain, pure latency):
+    #   keccak: host_alpha2 — the host C keccak (~2 Mhash/s) replays
+    #     the pulled wire values in <1 ms, vs 294 ms measured for the
+    #     same chain on device (tools/profile_stages.py). Program 2 is
+    #     seeded with the replayed digest state (_prove_device_fs).
+    #   duplex: the host Poseidon2 is exact-int Python (~2 ms/perm →
+    #     ~1.4 s for the chain, measured as a 2.2x END-TO-END regression
+    #     when host-replayed), so the absorb + alpha2 stay ON DEVICE and
+    #     the post-sample sponge state is carried straight into
+    #     program 2 — no host replay.
+    # The p2 seeding is byte-exact either way: every sample in this
+    # protocol is followed by an observe, which clears sampling
+    # leftovers on both transcript models.
+    host_alpha2 = kind == "keccak"
+    if host_alpha2:
+        alpha2_carry = ()
+    else:
+        for ys in ys_devs:
+            ch.observe_words(ys)  # row-major (w, D) == per-elt observe
+        alpha2_m = ch.sample_fields_m(E.D)
+        alpha2_carry = (alpha2_m, ch.state)
     flags_p1 = (
         jnp.stack(ch.flags).astype(jnp.uint32)
         if ch.flags else jnp.zeros((0,), jnp.uint32)
@@ -330,11 +350,12 @@ def _device_body_p1(config, air, trace, publics_m, meta, stop=None):
         shapes_p1=[tuple(a.shape) for a in small],
         trace_eff_cap=trace_data.eff_cap,
         quotient_eff_cap=quotient_data.eff_cap,
+        host_alpha2=host_alpha2,
     )
     carry = (
         tuple(trace_data.matrices), tuple(trace_data.layers),
         tuple(quotient_data.matrices), tuple(quotient_data.layers),
-        tuple(ys_devs), zeta_m,
+        tuple(ys_devs), zeta_m, alpha2_carry,
     )
     small_flat = jnp.concatenate(
         [a.reshape(-1).astype(jnp.uint32) for a in small]
@@ -367,7 +388,8 @@ def _device_body_p2(config, air, carry, alpha2_m, seed, meta, stop=None):
         )
 
     params = pcs.fri
-    (trace_mats, trace_layers, q_mats, q_layers, ys_devs, zeta_m) = carry
+    (trace_mats, trace_layers, q_mats, q_layers, ys_devs, zeta_m,
+     _a2c) = carry
     trace_data = _CarriedTree(trace_mats, trace_layers,
                               meta["trace_eff_cap"])
     quotient_data = _CarriedTree(q_mats, q_layers,
@@ -621,43 +643,45 @@ def _prove_device_fs(config, air, trace, public_values, spans=None):
     quotient_root = dconv(next(it))
     ys_np = [F.from_monty_np(next(it)) for _ in range(meta["n_ys"])]
 
-    # ---- host transcript replay -> alpha2 + program-2 seed state ----
-    # The host challenger (C keccak at ~2 Mhash/s / exact-int Poseidon2)
-    # absorbs the same wire values the device transcript would and
-    # samples alpha2 in <1 ms — the device equivalent is ~320 SEQUENTIAL
-    # permutations (~294 ms measured). Every sample is followed by an
-    # observe in this protocol, so seeding program 2 with the post-
-    # sample state (keccak digest chain / duplex sponge state) is
-    # byte-exact.
-    hch = config.initialise_challenger()
-    hch.observe(meta["log_n"])
-    hch.observe(meta["log_n"])
-    hch.observe(0)
-    hch.observe_digest(trace_root)
-    hch.observe_many(public_values)
-    hch.sample_ext(E.D)  # alpha (already consumed on device)
-    hch.observe_digest(quotient_root)
-    hch.sample_ext(E.D)  # zeta
-    for y in ys_np:
-        if hasattr(hch, "observe_base_array"):
-            hch.observe_base_array(y)
-        else:
-            for row in y.tolist():
-                hch.observe_ext(tuple(int(v) for v in row))
-    alpha2 = hch.sample_ext(E.D)
-    alpha2_dev = jnp.asarray(
-        F.to_monty_np(np.asarray(alpha2, dtype=np.uint32))
-    )
-    if config.challenger_kind == "keccak":
+    # ---- alpha2 + program-2 seed state ----
+    if meta["host_alpha2"]:
+        # keccak: the host C keccak (~2 Mhash/s) replays the transcript
+        # over the pulled wire values and samples alpha2 in <1 ms — the
+        # device equivalent is ~320 SEQUENTIAL permutations (~294 ms
+        # measured). Every sample is followed by an observe in this
+        # protocol, so seeding program 2 with the post-sample digest
+        # state is byte-exact.
+        hch = config.initialise_challenger()
+        hch.observe(meta["log_n"])
+        hch.observe(meta["log_n"])
+        hch.observe(0)
+        hch.observe_digest(trace_root)
+        hch.observe_many(public_values)
+        hch.sample_ext(E.D)  # alpha (already consumed on device)
+        hch.observe_digest(quotient_root)
+        hch.sample_ext(E.D)  # zeta
+        for y in ys_np:
+            if hasattr(hch, "observe_base_array"):
+                hch.observe_base_array(y)
+            else:
+                for row in y.tolist():
+                    hch.observe_ext(tuple(int(v) for v in row))
+        alpha2 = hch.sample_ext(E.D)
+        alpha2_dev = jnp.asarray(
+            F.to_monty_np(np.asarray(alpha2, dtype=np.uint32))
+        )
         assert len(hch.input_buffer) == 32  # = the last flush digest
         seed = jnp.asarray(
             np.frombuffer(bytes(hch.input_buffer), dtype="<u4")
         )
+        _mark("host transcript replay (alpha2)")
     else:
-        seed = jnp.asarray(F.to_monty_np(
-            np.asarray(hch.state, dtype=np.uint64).astype(np.uint32)
-        ))
-    _mark("host transcript replay (alpha2)")
+        # duplex: the absorb + alpha2 ran on device in program 1 (the
+        # host Poseidon2 is Python-exact and ~1000x slower than the C
+        # keccak — replaying ~690 permutations there measured a 2.2x
+        # end-to-end regression); the post-sample sponge state came
+        # back in the carry.
+        alpha2_dev, seed = carry[-1]
 
     # ---- program 2: accumulation / FRI / grind / query gathers ----
     if entry["fn2"] is None:

@@ -115,28 +115,26 @@ def main():
     trace_root = dconv(next(it))
     quotient_root = dconv(next(it))
     ys_np = [F.from_monty_np(next(it)) for _ in range(meta["n_ys"])]
-    hch = config.initialise_challenger()
-    hch.observe(meta["log_n"])
-    hch.observe(meta["log_n"])
-    hch.observe(0)
-    hch.observe_digest(trace_root)
-    hch.sample_ext(E.D)
-    hch.observe_digest(quotient_root)
-    hch.sample_ext(E.D)
-    for y in ys_np:
-        hch.observe_base_array(y)
-    alpha2 = hch.sample_ext(E.D)
-    alpha2_dev = jnp.asarray(
-        F.to_monty_np(np.asarray(alpha2, dtype=np.uint32))
-    )
-    if config.challenger_kind == "keccak":
+    if meta["host_alpha2"]:
+        hch = config.initialise_challenger()
+        hch.observe(meta["log_n"])
+        hch.observe(meta["log_n"])
+        hch.observe(0)
+        hch.observe_digest(trace_root)
+        hch.sample_ext(E.D)
+        hch.observe_digest(quotient_root)
+        hch.sample_ext(E.D)
+        for y in ys_np:
+            hch.observe_base_array(y)
+        alpha2 = hch.sample_ext(E.D)
+        alpha2_dev = jnp.asarray(
+            F.to_monty_np(np.asarray(alpha2, dtype=np.uint32))
+        )
         seed = jnp.asarray(
             np.frombuffer(bytes(hch.input_buffer), dtype="<u4")
         )
     else:
-        seed = jnp.asarray(F.to_monty_np(
-            np.asarray(hch.state, dtype=np.uint64).astype(np.uint32)
-        ))
+        alpha2_dev, seed = carry[-1]
 
     prev = 0.0
     for stop in P2_STAGES:
