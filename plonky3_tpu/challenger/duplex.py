@@ -102,9 +102,51 @@ class DuplexChallenger:
 
     def observe_base_array(self, values_std: np.ndarray):
         """Observe an array of standard-form elements (row-major order,
-        identical transcript to element-by-element observe)."""
-        for v in np.ascontiguousarray(values_std).reshape(-1).tolist():
-            self.observe(v)
+        identical transcript to element-by-element observe).
+
+        Full rate-blocks absorb through the native C chain when
+        available (native/poseidon2.c; the ~690-permutation ys absorb
+        of the benchmark proof drops from ~1.4 s of exact-int Python to
+        ~1 ms); head/tail partial blocks go element-by-element."""
+        F = self.perm.F
+        v = np.ascontiguousarray(values_std).reshape(-1)
+        n = int(v.size)
+        if n == 0:
+            return
+        v = (v.astype(np.uint64) % F.P).astype(np.uint32)
+        nc = (
+            self.perm._native_consts()
+            if hasattr(self.perm, "_native_consts") else None
+        )
+        i = 0
+        if nc is not None and n - (
+            (self.rate - len(self.input_buffer)) % self.rate
+        ) >= self.rate:
+            from ..native import poseidon2_duplex_chain
+
+            k = len(self.input_buffer)
+            if k:
+                take = min(n, self.rate - k)
+                for j in range(take):
+                    self.observe(int(v[j]))
+                i = take
+            nblocks = (n - i) // self.rate
+            if nblocks:
+                st = poseidon2_duplex_chain(
+                    np.asarray(self.state, dtype=np.uint32),
+                    v[i:i + nblocks * self.rate].reshape(
+                        nblocks, self.rate
+                    ),
+                    nc["P"], nc["width"], self.rate, nc["d"],
+                    nc["rc_ei"], nc["rc_int"], nc["rc_ef"], nc["diag"],
+                )
+                if st is not None:
+                    self.state = [int(x) for x in st]
+                    self.input_buffer = []
+                    self.output_buffer = list(self.state[: self.rate])
+                    i += nblocks * self.rate
+        for x in v[i:].tolist():
+            self.observe(x)
 
     def sample(self) -> int:
         if self.input_buffer or not self.output_buffer:

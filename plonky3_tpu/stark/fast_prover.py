@@ -318,15 +318,22 @@ def _device_body_p1(config, air, trace, publics_m, meta, stop=None):
     #     the pulled wire values in <1 ms, vs 294 ms measured for the
     #     same chain on device (tools/profile_stages.py). Program 2 is
     #     seeded with the replayed digest state (_prove_device_fs).
-    #   duplex: the host Poseidon2 is exact-int Python (~2 ms/perm →
-    #     ~1.4 s for the chain, measured as a 2.2x END-TO-END regression
-    #     when host-replayed), so the absorb + alpha2 stay ON DEVICE and
-    #     the post-sample sponge state is carried straight into
-    #     program 2 — no host replay.
+    #   duplex + native/poseidon2.c available: same host replay (the C
+    #     duplex chain runs the ~690 permutations in ~1 ms).
+    #   duplex without the native kernel: the host Poseidon2 is
+    #     exact-int Python (~2 ms/perm → ~1.4 s for the chain, measured
+    #     as a 2.2x END-TO-END regression when host-replayed), so the
+    #     absorb + alpha2 stay ON DEVICE and the post-sample sponge
+    #     state is carried straight into program 2 — no host replay.
     # The p2 seeding is byte-exact either way: every sample in this
     # protocol is followed by an observe, which clears sampling
     # leftovers on both transcript models.
-    host_alpha2 = kind == "keccak"
+    if kind == "keccak":
+        host_alpha2 = True
+    else:
+        from ..native import have_poseidon2
+
+        host_alpha2 = have_poseidon2()
     if host_alpha2:
         alpha2_carry = ()
     else:
@@ -670,10 +677,17 @@ def _prove_device_fs(config, air, trace, public_values, spans=None):
         alpha2_dev = jnp.asarray(
             F.to_monty_np(np.asarray(alpha2, dtype=np.uint32))
         )
-        assert len(hch.input_buffer) == 32  # = the last flush digest
-        seed = jnp.asarray(
-            np.frombuffer(bytes(hch.input_buffer), dtype="<u4")
-        )
+        if config.challenger_kind == "keccak":
+            assert len(hch.input_buffer) == 32  # = the last flush digest
+            seed = jnp.asarray(
+                np.frombuffer(bytes(hch.input_buffer), dtype="<u4")
+            )
+        else:
+            # duplex: the post-sample sponge state, in Monty (the
+            # device challenger's native representation)
+            seed = jnp.asarray(F.to_monty_np(
+                np.asarray(hch.state, dtype=np.uint64).astype(np.uint32)
+            ))
         _mark("host transcript replay (alpha2)")
     else:
         # duplex: the absorb + alpha2 ran on device in program 1 (the

@@ -93,3 +93,41 @@ def test_permutation_is_bijective_on_samples(rng):
     batch = rng.integers(0, F.P, (64, 16), dtype=np.uint64)
     out = np.asarray(perm.permute_device(jnp.asarray(F.to_monty_np(batch))))
     assert len({bytes(r.tobytes()) for r in out}) == 64
+
+
+@pytest.mark.parametrize("field,width", [
+    (KoalaBear, 16), (KoalaBear, 24), (BabyBear, 16), (BabyBear, 24),
+])
+def test_native_host_lockstep(field, width, rng):
+    """The C kernel (native/poseidon2.c, routed through permute_host)
+    must match the pure-Python exact permutation on random states. When
+    the native toolchain is absent both paths are the Python one and
+    the test degenerates to a self-check."""
+    perm = default_poseidon2(field, width)
+    for _ in range(8):
+        state = [int(x) for x in
+                 rng.integers(0, field.P, width, dtype=np.uint64)]
+        assert perm.permute_host(state) == perm.permute_host_py(state)
+
+
+def test_native_duplex_chain_matches_elementwise(rng):
+    """DuplexChallenger.observe_base_array (native C full-block chain)
+    must leave the challenger in the same state as element-by-element
+    observe, across head/tail partial-block alignments."""
+    from plonky3_tpu.challenger.duplex import DuplexChallenger
+
+    F = KoalaBear
+    perm = default_poseidon2(F, 24)
+    for n, prefill in [(16, 0), (53, 0), (64, 5), (15, 3), (160, 16)]:
+        vals = rng.integers(0, F.P, n, dtype=np.uint64)
+        a = DuplexChallenger(perm, rate=16)
+        b = DuplexChallenger(perm, rate=16)
+        for c in (a, b):
+            c.observe_many(range(1, prefill + 1))
+        a.observe_base_array(vals)
+        for v in vals.tolist():
+            b.observe(int(v))
+        assert a.state == b.state
+        assert a.input_buffer == b.input_buffer
+        assert a.output_buffer == b.output_buffer
+        assert a.sample_ext(4) == b.sample_ext(4)

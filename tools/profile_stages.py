@@ -130,9 +130,14 @@ def main():
         alpha2_dev = jnp.asarray(
             F.to_monty_np(np.asarray(alpha2, dtype=np.uint32))
         )
-        seed = jnp.asarray(
-            np.frombuffer(bytes(hch.input_buffer), dtype="<u4")
-        )
+        if config.challenger_kind == "keccak":
+            seed = jnp.asarray(
+                np.frombuffer(bytes(hch.input_buffer), dtype="<u4")
+            )
+        else:
+            seed = jnp.asarray(F.to_monty_np(
+                np.asarray(hch.state, dtype=np.uint64).astype(np.uint32)
+            ))
     else:
         alpha2_dev, seed = carry[-1]
 
